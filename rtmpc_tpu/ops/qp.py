@@ -1,0 +1,380 @@
+"""Batched OSQP-style ADMM solver for the canonical MPC box-QP (JAX).
+
+Replaces the reference's per-step CVXPY/Clarabel interior-point solves
+(``prob.solve(solver=cp.CLARABEL, tol_gap_abs=1e-7)`` at
+``TubeTrackingMPC.py:183``) with a solver designed for the TPU execution
+model:
+
+* **One factorization per problem structure.** All per-step QPs share the
+  quadratic form and constraint matrix; only ``q``/``l``/``u`` depend on the
+  parameters ``theta = [x_init; ref]``.  The ADMM KKT matrix
+  ``K = P + sigma I + A' diag(rho) A`` is inverted once on the host in
+  float64 and shipped to the device, so the per-iteration linear solve is a
+  single dense matmul — exactly what the MXU wants.
+* **Batched by construction.** ``admm_solve`` is written for one problem and
+  ``vmap``s to thousands of parameter instances; the iteration then consists
+  of ``(B, n) @ (n, n)`` / ``(B, n) @ (n, m)`` matmuls plus elementwise
+  projections.
+* **Static shapes.** Problems are padded to lane-friendly sizes at
+  preparation time; a fixed iteration count keeps the step function
+  scan-compatible (no data-dependent control flow).
+* **Warm starting.** The (x, y, z) iterates are part of the rollout carry:
+  consecutive closed-loop QPs are near-identical, so warm starts cut the
+  iteration count dramatically.
+
+Accuracy strategy (SURVEY.md section 7.3 item 1): modified Ruiz
+equilibration + cost scaling at preparation, over-relaxation alpha=1.6,
+per-row rho with stiff equality rows (OSQP heuristic), and an optional
+iterative-refinement polish pass ``admm_refine`` for near-oracle accuracy.
+Closed-loop contraction then forgives the residual solver error; parity is
+asserted on trajectories, not raw QP iterates.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .assembly import QPTemplate
+
+__all__ = ["ADMMSpec", "ADMMState", "ADMMSolution", "prepare_admm",
+           "init_admm_state", "admm_solve"]
+
+
+class ADMMSpec(NamedTuple):
+    """Device-resident, padded, pre-scaled problem data (pytree of arrays).
+
+    Shapes: n_p (padded vars), m_p (padded rows), ntheta parameters.
+    """
+    Kinv: jax.Array      # (n_p, n_p) inverse of P_s + sigma I + A_s' rho A_s
+    Ps: jax.Array        # (n_p, n_p) scaled quadratic cost
+    As: jax.Array        # (m_p, n_p) scaled constraint matrix
+    rho: jax.Array       # (m_p,)
+    rho_inv: jax.Array   # (m_p,)
+    q0: jax.Array        # (n_p,) scaled
+    Mq: jax.Array        # (n_p, ntheta) scaled
+    l0: jax.Array        # (m_p,) scaled (-big for one-sided)
+    Ml: jax.Array        # (m_p, ntheta)
+    u0: jax.Array        # (m_p,)
+    Mu: jax.Array        # (m_p, ntheta)
+    D: jax.Array         # (n_p,) primal unscaling diag
+    E: jax.Array         # (m_p,) row scaling diag
+    cinv: jax.Array      # scalar: 1/cost-scale (dual unscaling)
+    sigma: jax.Array     # scalar
+    alpha: jax.Array     # scalar over-relaxation
+
+
+class ADMMState(NamedTuple):
+    """Warm-startable iterate (scaled space)."""
+    x: jax.Array         # (n_p,)
+    y: jax.Array         # (m_p,)
+    z: jax.Array         # (m_p,)
+
+
+class ADMMSolution(NamedTuple):
+    z_primal: jax.Array  # (n_p,) UNSCALED primal solution (padded tail ~0)
+    state: ADMMState     # final iterate for warm starting
+    r_prim: jax.Array    # scalar inf-norm primal residual (scaled)
+    r_dual: jax.Array    # scalar inf-norm dual residual (scaled)
+
+
+def _ruiz_equilibrate(P, A, q_cols, iters=15):
+    """Modified Ruiz equilibration on [[P, A'], [A, 0]] + cost scaling.
+
+    Returns (Ps, As, D, E, c) with Ps = c D P D, As = E A D.
+    q_cols is the (n, k) matrix of linear-term columns used for the cost
+    scaling heuristic (OSQP uses the mean of |D q|).
+    """
+    n, m = P.shape[0], A.shape[0]
+    D = np.ones(n)
+    E = np.ones(m)
+    c = 1.0
+    Ps, As = P.copy(), A.copy()
+    qc = q_cols.copy()  # running scaled linear-term columns: c * D * q_cols
+    for _ in range(iters):
+        # column norms over the stacked KKT columns (vars), row norms (rows)
+        col = np.maximum(np.abs(Ps).max(axis=0), np.abs(As).max(axis=0)
+                         if m else 0.0)
+        col[col == 0] = 1.0
+        d = 1.0 / np.sqrt(col)
+        row = np.abs(As).max(axis=1) if m else np.ones(0)
+        row[row == 0] = 1.0
+        e = 1.0 / np.sqrt(row)
+        Ps = (Ps * d[None, :]) * d[:, None]
+        As = (As * d[None, :]) * e[:, None]
+        D *= d
+        E *= e
+        qc = qc * d[:, None]
+        # cost scaling (OSQP): gamma from the CURRENT scaled cost, applied
+        # to both the quadratic and linear parts so it converges to 1
+        pcol = np.abs(Ps).max(axis=0)
+        qn = np.abs(qc).max() if qc.size else 0.0
+        gamma = 1.0 / max(np.mean(pcol), max(qn, 1e-6))
+        gamma = min(max(gamma, 1e-6), 1e6)
+        Ps *= gamma
+        qc *= gamma
+        c *= gamma
+    return Ps, As, D, E, c
+
+
+def _admm_numpy_trial(Ps, As, q, l, u, rho_vec, sigma, alpha, iters):
+    """Host NumPy ADMM (same iteration as the device path) for rho tuning."""
+    n, m = Ps.shape[0], As.shape[0]
+    K = Ps + sigma * np.eye(n) + (As.T * rho_vec) @ As
+    try:
+        Kinv = np.linalg.inv(K)
+    except np.linalg.LinAlgError:
+        return np.inf
+    x = np.zeros(n)
+    y = np.zeros(m)
+    z = np.zeros(m)
+    for _ in range(iters):
+        rhs = sigma * x - q + As.T @ (rho_vec * z - y)
+        xt = Kinv @ rhs
+        zt = As @ xt
+        x = alpha * xt + (1 - alpha) * x
+        z_mix = alpha * zt + (1 - alpha) * z
+        z_new = np.clip(z_mix + y / rho_vec, l, u)
+        y = y + rho_vec * (z_mix - z_new)
+        z = z_new
+    r_p = np.max(np.abs(As @ x - z))
+    r_d = np.max(np.abs(Ps @ x + q + As.T @ y))
+    return max(r_p, r_d)
+
+
+def prepare_admm(
+    template: QPTemplate,
+    rho="auto",
+    rho_eq_scale: float = 1e3,
+    sigma: float = 1e-6,
+    alpha: float = 1.6,
+    pad_to: int = 8,
+    dtype=jnp.float32,
+    equilibrate: bool = True,
+    big: float = 1e20,
+    probe_thetas: Optional[np.ndarray] = None,
+    rho_candidates=(0.5, 2.0, 5.0, 15.0, 50.0),
+    tune_iters: int = 150,
+) -> ADMMSpec:
+    """Host-side preparation: equilibrate, build K^{-1} in float64, pad, cast.
+
+    ``pad_to``: round n and m up to this multiple (use 128/256 on TPU for
+    MXU-tile alignment; 8 is fine for CPU tests).
+
+    ``rho="auto"``: select the penalty from ``rho_candidates`` by running a
+    short NumPy ADMM trial per candidate on ``probe_thetas`` (representative
+    parameter vectors; zeros if not given) and keeping the one with the
+    smallest worst-case KKT residual.  A well-chosen fixed rho converges
+    10-100x faster than OSQP's default here (dense, equilibrated, tiny MPC
+    problems), and a fixed rho is what lets K^{-1} be precomputed once.
+    """
+    P, A = template.P, template.A
+    n, m = template.n, template.m
+
+    qcols = np.column_stack([template.q0.reshape(-1, 1), template.Mq]) \
+        if template.Mq.size else template.q0.reshape(-1, 1)
+    if equilibrate:
+        Ps, As, D, E, c = _ruiz_equilibrate(P, A, qcols)
+    else:
+        Ps, As, D, E, c = P.copy(), A.copy(), np.ones(n), np.ones(m), 1.0
+
+    if rho == "auto":
+        if probe_thetas is None:
+            rng = np.random.default_rng(0)
+            probe_thetas = np.vstack([
+                np.zeros((1, template.ntheta)),
+                rng.uniform(-2.0, 2.0, size=(3, template.ntheta)),
+            ])
+        probe_thetas = np.atleast_2d(probe_thetas)
+        best_rho, best_score = rho_candidates[0], np.inf
+        for cand in rho_candidates:
+            rv = np.where(template.is_eq, cand * rho_eq_scale, cand)
+            score = 0.0
+            for th in probe_thetas:
+                q_s = c * D * (template.q0 + template.Mq @ th)
+                l_s = E * np.where(np.isfinite(template.l0),
+                                   template.l0 + template.Ml @ th, -big)
+                u_s = E * np.where(np.isfinite(template.u0),
+                                   template.u0 + template.Mu @ th, big)
+                score = max(score, _admm_numpy_trial(
+                    Ps, As, q_s, l_s, u_s, rv, sigma, alpha, tune_iters))
+            if score < best_score:
+                best_rho, best_score = cand, score
+        rho = best_rho
+
+    rho_vec = np.where(template.is_eq, rho * rho_eq_scale, rho)
+
+    K = Ps + sigma * np.eye(n) + (As.T * rho_vec) @ As
+    Kinv = np.linalg.inv(K)
+
+    # scaled parametrized vectors
+    q0s = c * D * template.q0
+    Mqs = c * D[:, None] * template.Mq
+    l0s = E * np.where(np.isfinite(template.l0), template.l0, -big / np.maximum(E, 1e-30))
+    u0s = E * np.where(np.isfinite(template.u0), template.u0, big / np.maximum(E, 1e-30))
+    Mls = E[:, None] * template.Ml
+    Mus = E[:, None] * template.Mu
+
+    # padding
+    def rup(v, k):
+        return ((v + k - 1) // k) * k
+
+    n_p, m_p = rup(n, pad_to), rup(m, pad_to)
+
+    def padm(M, r, cdim):
+        out = np.zeros((r, cdim))
+        out[:M.shape[0], :M.shape[1]] = M
+        return out
+
+    def padv(v, r, fill=0.0):
+        out = np.full(r, fill)
+        out[:v.shape[0]] = v
+        return out
+
+    Kinv_p = padm(Kinv, n_p, n_p)
+    np.fill_diagonal(Kinv_p[n:, n:], 1.0 / (1.0 + sigma))
+    Ps_p = padm(Ps, n_p, n_p)
+    np.fill_diagonal(Ps_p[n:, n:], 1.0)
+    As_p = padm(As, m_p, n_p)
+    rho_p = padv(rho_vec, m_p, fill=rho)
+
+    spec = ADMMSpec(
+        Kinv=jnp.asarray(Kinv_p, dtype),
+        Ps=jnp.asarray(Ps_p, dtype),
+        As=jnp.asarray(As_p, dtype),
+        rho=jnp.asarray(rho_p, dtype),
+        rho_inv=jnp.asarray(1.0 / rho_p, dtype),
+        q0=jnp.asarray(padv(q0s, n_p), dtype),
+        Mq=jnp.asarray(padm(Mqs, n_p, template.ntheta), dtype),
+        l0=jnp.asarray(padv(l0s, m_p, fill=-1.0), dtype),
+        Ml=jnp.asarray(padm(Mls, m_p, template.ntheta), dtype),
+        u0=jnp.asarray(padv(u0s, m_p, fill=1.0), dtype),
+        Mu=jnp.asarray(padm(Mus, m_p, template.ntheta), dtype),
+        D=jnp.asarray(padv(D, n_p, fill=1.0), dtype),
+        E=jnp.asarray(padv(E, m_p, fill=1.0), dtype),
+        cinv=jnp.asarray(1.0 / c, dtype),
+        sigma=jnp.asarray(sigma, dtype),
+        alpha=jnp.asarray(alpha, dtype),
+    )
+    return spec
+
+
+def init_admm_state(spec: ADMMSpec) -> ADMMState:
+    n_p = spec.Kinv.shape[0]
+    m_p = spec.As.shape[0]
+    dt = spec.Kinv.dtype
+    return ADMMState(x=jnp.zeros(n_p, dt), y=jnp.zeros(m_p, dt),
+                     z=jnp.zeros(m_p, dt))
+
+
+def admm_solve(spec: ADMMSpec, theta: jax.Array,
+               state: Optional[ADMMState] = None,
+               iters: int = 100,
+               polish: bool = False,
+               polish_weight: float = 1e8,
+               active_tol: float = 1e-6) -> ADMMSolution:
+    """Solve one parameter instance; ``jax.vmap`` over ``theta``/``state``
+    for batches.  Fixed iteration count (scan/jit friendly).
+
+    ``polish=True`` runs an OSQP-style solution polish after the ADMM loop:
+    detect the active constraint set from the final iterate, then solve the
+    corresponding equality-constrained QP via a penalty formulation
+    ``(P + sigma I + w A_act' A_act) x = -q + w A_act' b_act`` with one
+    iterative-refinement sweep.  This recovers Clarabel-class (1e-8..1e-10)
+    accuracy from a loosely converged ADMM iterate when the active set is
+    identified correctly; if the polished KKT residual is worse than the
+    ADMM one, the ADMM solution is kept (per-element select)."""
+    if state is None:
+        state = init_admm_state(spec)
+    theta = theta.astype(spec.q0.dtype)
+    q = spec.q0 + spec.Mq @ theta
+    l = spec.l0 + spec.Ml @ theta
+    u = spec.u0 + spec.Mu @ theta
+
+    sigma, alpha = spec.sigma, spec.alpha
+
+    def body(_, s: ADMMState) -> ADMMState:
+        x, y, z = s
+        rhs = sigma * x - q + spec.As.T @ (spec.rho * z - y)
+        xt = spec.Kinv @ rhs
+        zt = spec.As @ xt
+        x_new = alpha * xt + (1.0 - alpha) * x
+        z_mix = alpha * zt + (1.0 - alpha) * z
+        z_new = jnp.clip(z_mix + y * spec.rho_inv, l, u)
+        y_new = y + spec.rho * (z_mix - z_new)
+        return ADMMState(x_new, y_new, z_new)
+
+    state = jax.lax.fori_loop(0, iters, body, state)
+
+    x, y, z = state
+
+    def kkt_res(xv, yv):
+        rp = jnp.max(jnp.abs(jnp.clip(spec.As @ xv, l, u) - spec.As @ xv))
+        rd = jnp.max(jnp.abs(spec.Ps @ xv + q + spec.As.T @ yv))
+        return rp, rd
+
+    r_prim, r_dual = (jnp.max(jnp.abs(spec.As @ x - z)),
+                      jnp.max(jnp.abs(spec.Ps @ x + q + spec.As.T @ y)))
+
+    if polish:
+        dt = x.dtype
+        n_p = x.shape[0]
+        w = jnp.asarray(polish_weight, dt)
+        # active set from the final iterate: bound proximity or dual signal
+        near_u = (u - z) < active_tol
+        near_l = (z - l) < active_tol
+        act = jnp.logical_or(jnp.logical_or(near_u, near_l),
+                             jnp.abs(y) > active_tol)
+        # pick the bound: proximity first, dual sign as tie-breaker
+        b_act = jnp.where(y < 0, l, u)
+        b_act = jnp.where(near_l & ~near_u, l, b_act)
+        b_act = jnp.where(near_u & ~near_l, u, b_act)
+        is_eq = jnp.abs(u - l) < active_tol
+        eye = jnp.eye(n_p, dtype=dt)
+        # NOT the ADMM sigma: that would bias stationarity by sigma*||x||.
+        sig_pol = jnp.asarray(jnp.finfo(dt).eps * 100, dt)
+
+        def penalty_solve(act_k, b_k):
+            d = act_k.astype(dt)
+            Aw = spec.As * d[:, None]
+            M = spec.Ps + sig_pol * eye + w * (Aw.T @ Aw)
+            rhs0 = -q + w * (Aw.T @ (d * b_k))
+            # Direct dense solve: LU exists on TPU for f32 and on local CPU
+            # for f64 (the two deployment modes).  kappa(M) ~ w, so two
+            # refinement rounds recover the digits the factorization loses.
+            lu, piv = jax.scipy.linalg.lu_factor(M)
+            xk = jax.scipy.linalg.lu_solve((lu, piv), rhs0)
+            for _ in range(2):
+                xk = xk + jax.scipy.linalg.lu_solve((lu, piv),
+                                                    rhs0 - M @ xk)
+            yk = w * d * (spec.As @ xk - b_k)
+            return xk, yk
+
+        xp, yp = penalty_solve(act, b_act)
+        # Active-set refinement: drop rows whose multiplier has the wrong
+        # sign (falsely pinned), add rows the polished point violates, then
+        # re-solve.  Two passes settle all but pathological degeneracies.
+        for _ in range(2):
+            wrong_sign = jnp.where(b_act == u, yp < -active_tol,
+                                   yp > active_tol) & ~is_eq
+            Axp = spec.As @ xp
+            viol_u = Axp > u + active_tol
+            viol_l = Axp < l - active_tol
+            act = (act & ~wrong_sign) | viol_u | viol_l | is_eq
+            b_act = jnp.where(viol_l, l, b_act)
+            b_act = jnp.where(viol_u, u, b_act)
+            xp, yp = penalty_solve(act, b_act)
+        rp_p, rd_p = kkt_res(xp, yp)
+        better = jnp.maximum(rp_p, rd_p) < jnp.maximum(r_prim, r_dual)
+        x = jnp.where(better, xp, x)
+        r_prim = jnp.where(better, rp_p, r_prim)
+        r_dual = jnp.where(better, rd_p, r_dual)
+        # NOTE: ``state`` keeps the raw ADMM iterate — the polished duals
+        # are penalty-scaled (w * violation) and would poison the next
+        # solve's warm start; only the returned primal is polished.
+
+    return ADMMSolution(z_primal=spec.D * x, state=state,
+                        r_prim=r_prim, r_dual=r_dual)

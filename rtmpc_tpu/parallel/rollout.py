@@ -1,0 +1,247 @@
+"""Closed-loop lossy-network rollout engine: ``lax.scan`` over time,
+``vmap`` over scenarios.
+
+This is the canonical per-step protocol of the reference's drivers
+(``Example_of_Tube_Tracking_MPC_Over_Lossy_Network.py:115-163``, SURVEY.md
+section 3.2) as ONE pure function:
+
+    per step t:
+      1. controller solves the tracking QP from the current estimate
+         (batched ADMM, warm-started from the previous step's iterates),
+      2. encapsulates U_t = [u_nom(0..N-1), ubar + K xbar] and q_t,
+      3. the estimator records the sent sequence,
+      4. the (smart|consistent) actuator processes the packet gated by the
+         theta mask, produces u_t and the reply packet,
+      5. the plant advances (linear + disturbance, or nonlinear cartpole),
+      6. the estimator processes the reply gated by the gamma mask.
+
+The lossy network is mask *data* (``protocol/network.py``), so the whole
+closed loop is deterministic given (x0, refs, w, theta, gamma) and
+compiles to a single scan; ``make_batched_rollout`` vmaps it over
+scenario batches (disturbance draws x loss realizations x references x
+loss probabilities) — the >=10k rollouts/s axis of BASELINE.json.
+
+Feasibility semantics under batching (SURVEY.md 7.3 item 3): the reference
+*stops* an arm when its QP goes infeasible (``track_feasible``,
+``results_linear_system.py:262-271``); here each batch element carries a
+``feasible`` flag — once the ADMM residuals diverge the element's state
+freezes and its tracking error reports NaN, without branching.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..models.specs import ControllerArrays, ControllerConfig
+from ..ops.qp import ADMMState, admm_solve, init_admm_state
+from ..protocol.actuator import ActuatorState, actuator_step, init_actuator
+from ..protocol.estimator import (EstimatorState, estimator_update,
+                                  init_estimator, store_sequence)
+
+__all__ = ["RolloutCarry", "StepOutputs", "init_carry", "make_rollout_fn",
+           "make_batched_rollout", "tracking_error_rms"]
+
+
+class RolloutCarry(NamedTuple):
+    x: jax.Array              # (nx,) plant state
+    act: ActuatorState
+    est: EstimatorState
+    admm: ADMMState           # warm-start iterate, normal problem
+    admm_pr: ADMMState        # warm-start iterate, packet-received problem
+    prev_gamma: jax.Array     # () int32 — gamma of the previous step
+    feasible: jax.Array       # () bool
+    infeas_count: jax.Array   # () int32 consecutive high-residual steps
+
+
+class StepOutputs(NamedTuple):
+    x: jax.Array              # (nx,) plant state AFTER the step (x_{t+1})
+    u: jax.Array              # (nu,) applied input
+    x_nom: jax.Array          # (nx,) actuator nominal state at step t
+    x_hat: jax.Array          # (nx,) estimate the controller used at step t
+    Theta: jax.Array          # () int32 consistency indicator
+    r_prim: jax.Array         # () QP primal residual (scaled)
+    r_dual: jax.Array         # () QP dual residual (scaled)
+    feasible: jax.Array       # () bool after this step
+
+
+def init_carry(arrays: ControllerArrays, cfg: ControllerConfig, x0,
+               T: int) -> RolloutCarry:
+    dtype = arrays.A.dtype
+    x0 = jnp.asarray(x0, dtype).reshape(cfg.nx)
+    return RolloutCarry(
+        x=x0,
+        act=init_actuator(cfg.N, cfg.nx, cfg.nu, x0, dtype),
+        est=init_estimator(T, cfg.N, cfg.nx, cfg.nu, x0, dtype),
+        admm=init_admm_state(arrays.admm),
+        admm_pr=init_admm_state(arrays.admm_pr),
+        prev_gamma=jnp.ones((), jnp.int32),
+        feasible=jnp.ones((), jnp.bool_),
+        infeas_count=jnp.zeros((), jnp.int32),
+    )
+
+
+def _extract_packet(arrays: ControllerArrays, cfg: ControllerConfig, z):
+    """Encapsulation (``TubeTrackingMPC.encapsulate`` :211-227 /
+    ``TrackingMPC.encapsulate`` :143-158): U_t = [u_nom(.), ubar + K xbar].
+    Also returns the optimal initial nominal state x_nom(0) and xbar."""
+    u_traj = z[cfg.u_off:cfg.u_off + cfg.N * cfg.nu].reshape(cfg.N, cfg.nu)
+    if cfg.tracking:
+        xbar = z[cfg.xbar_off:cfg.xbar_off + cfg.nx]
+        ubar = z[cfg.ubar_off:cfg.ubar_off + cfg.nu]
+        u_ss = ubar + arrays.K_ss @ xbar
+    else:
+        xbar = jnp.zeros(cfg.nx, z.dtype)
+        u_ss = jnp.zeros(cfg.nu, z.dtype)
+    U_t = jnp.concatenate([u_traj, u_ss[None]], axis=0)
+    x_nom0 = z[:cfg.nx]
+    return U_t, x_nom0, xbar
+
+
+def make_rollout_fn(
+    arrays: ControllerArrays,
+    cfg: ControllerConfig,
+    T: int,
+    actuator_mode: str = "consistent",     # "smart" | "consistent"
+    robust_estimator: Optional[bool] = None,
+    plant_step: Optional[Callable] = None,  # (x, u, w) -> x_next
+    infeas_tol: float = 2e-2,
+    infeas_persist: int = 3,
+) -> Callable:
+    """Build ``rollout(x0, refs, w, theta, gamma) -> (carry, StepOutputs)``.
+
+    ``refs``: (T, nx); ``w``: (T, nx); ``theta``/``gamma``: (T,) int32.
+    ``plant_step`` defaults to the linear model ``x+ = A x + B u + w``.
+    """
+    if robust_estimator is None:
+        robust_estimator = cfg.extended
+    if plant_step is None:
+        def plant_step(x, u, w):
+            return arrays.A @ x + arrays.B @ u + w
+
+    def step(carry: RolloutCarry, inp):
+        ref_t, w_t, theta_t, gamma_t = inp
+        x_hat = carry.est.x_hat
+        q_t = carry.est.q
+
+        theta_qp = jnp.concatenate([x_hat, ref_t])
+
+        # --- controller QP solve (warm started) --------------------------
+        sol = admm_solve(arrays.admm, theta_qp, carry.admm,
+                         iters=cfg.iters, polish=cfg.polish)
+        if cfg.extended:
+            # solve the packet-received problem too and select on the
+            # PREVIOUS step's gamma (driver ordering at
+            # results_linear_system_with_extendedMPC.py:260-378: gamma is
+            # re-drawn only after the controller computed its packet)
+            sol_pr = admm_solve(arrays.admm_pr, theta_qp, carry.admm_pr,
+                                iters=cfg.iters, polish=cfg.polish)
+            use_pr = carry.prev_gamma == 1
+            pick = lambda a, b: jax.tree_util.tree_map(
+                lambda p, n: jnp.where(use_pr, p, n), a, b)
+            z = jnp.where(use_pr, sol_pr.z_primal, sol.z_primal)
+            r_prim = jnp.where(use_pr, sol_pr.r_prim, sol.r_prim)
+            r_dual = jnp.where(use_pr, sol_pr.r_dual, sol.r_dual)
+            admm_new, admm_pr_new = sol.state, sol_pr.state
+        else:
+            z = sol.z_primal
+            r_prim, r_dual = sol.r_prim, sol.r_dual
+            admm_new, admm_pr_new = sol.state, carry.admm_pr
+
+        U_t, x_nom0, xbar = _extract_packet(arrays, cfg, z)
+
+        # --- feasibility detection ---------------------------------------
+        # A truly infeasible QP (the non-robust tracking arm after the
+        # state escapes X) keeps a large primal residual every step; the
+        # robust tube arm only shows transient residual spikes when the
+        # steady state rides the tightened boundary under solver error.
+        # Freeze an element only after ``infeas_persist`` consecutive
+        # high-residual steps (or non-finite iterates).
+        bad_now = jnp.logical_or(r_prim >= infeas_tol,
+                                 ~jnp.isfinite(jnp.sum(z)))
+        infeas_count = jnp.where(bad_now, carry.infeas_count + 1,
+                                 jnp.zeros((), jnp.int32))
+        feasible = jnp.logical_and(
+            carry.feasible,
+            jnp.logical_and(infeas_count < infeas_persist,
+                            jnp.isfinite(jnp.sum(z))))
+
+        # --- estimator records the sent sequence -------------------------
+        est1 = store_sequence(carry.est, U_t, x_nom0)
+
+        # --- plant side ---------------------------------------------------
+        u_t, plant_pkt, act_new, aux = actuator_step(
+            carry.act, U_t, q_t, x_nom0, carry.x, theta_t,
+            arrays.A, arrays.B, arrays.K_ss, arrays.K_plant, cfg.N,
+            mode=actuator_mode, extended=cfg.extended)
+
+        x_next = plant_step(carry.x, u_t, w_t)
+
+        # --- estimator update on the reply -------------------------------
+        est_new = estimator_update(
+            est1, plant_pkt, gamma_t, arrays.A, arrays.B,
+            arrays.K_ss, arrays.K_plant, cfg.N, robust=robust_estimator)
+
+        new_carry = RolloutCarry(
+            x=x_next, act=act_new, est=est_new,
+            admm=admm_new, admm_pr=admm_pr_new,
+            prev_gamma=gamma_t, feasible=feasible,
+            infeas_count=infeas_count)
+
+        # freeze the element entirely once infeasible (reference stops the
+        # arm): keep the old state, but keep advancing timers so indices
+        # stay aligned with the scan
+        frozen = RolloutCarry(
+            x=carry.x,
+            act=carry.act._replace(t=carry.act.t + 1),
+            est=carry.est._replace(t=carry.est.t + 1),
+            admm=carry.admm, admm_pr=carry.admm_pr,
+            prev_gamma=gamma_t, feasible=feasible,
+            infeas_count=infeas_count)
+        out_carry = jax.tree_util.tree_map(
+            lambda a, b: jnp.where(feasible, a, b), new_carry, frozen)
+
+        out = StepOutputs(
+            x=out_carry.x, u=u_t, x_nom=aux["x_nom"], x_hat=x_hat,
+            Theta=aux["Theta"], r_prim=r_prim, r_dual=r_dual,
+            feasible=feasible)
+        return out_carry, out
+
+    def rollout(x0, refs, w, theta, gamma):
+        carry0 = init_carry(arrays, cfg, x0, T)
+        return jax.lax.scan(step, carry0, (refs, w, theta, gamma))
+
+    return rollout
+
+
+def make_batched_rollout(arrays, cfg, T, **kw) -> Callable:
+    """vmap the rollout over leading batch axes of all inputs."""
+    fn = make_rollout_fn(arrays, cfg, T, **kw)
+    return jax.vmap(fn)
+
+
+def tracking_error_rms(x0, xs, refs, feasible=None):
+    """The reference's RMS tracking-error metric
+    (``results_linear_system.py:291``):
+
+        1/T * sqrt( sum_t (x_1(t) - ref(t))^2 + sum_{j>=2} x_j(t)^2 )
+
+    over t = 0..T-1 (i.e. including x0, excluding the final state).
+    ``xs``: (T, nx) post-step states from the rollout; ``refs``: (T, nx)
+    (only the first component is a real reference, the rest are zero).
+    Returns NaN where ``feasible`` ended False (reference: NaN + filtering,
+    :293-296).
+    """
+    x0 = jnp.asarray(x0).reshape(1, -1)
+    traj = jnp.concatenate([x0, xs[:-1]], axis=0)      # x_0 .. x_{T-1}
+    T = traj.shape[0]
+    err2 = jnp.sum((traj[:, 0] - refs[:, 0]) ** 2)
+    err2 = err2 + jnp.sum(traj[:, 1:] ** 2)
+    err = jnp.sqrt(err2) / T
+    if feasible is not None:
+        err = jnp.where(feasible, err, jnp.nan)
+    return err
