@@ -274,7 +274,7 @@ def admm_solve(spec: ADMMSpec, theta: jax.Array,
                state: Optional[ADMMState] = None,
                iters: int = 100,
                polish: bool = False,
-               polish_weight: float = 1e8,
+               polish_weight: Optional[float] = None,
                active_tol: float = 1e-6) -> ADMMSolution:
     """Solve one parameter instance; ``jax.vmap`` over ``theta``/``state``
     for batches.  Fixed iteration count (scan/jit friendly).
@@ -322,6 +322,10 @@ def admm_solve(spec: ADMMSpec, theta: jax.Array,
     if polish:
         dt = x.dtype
         n_p = x.shape[0]
+        if polish_weight is None:
+            # penalty condition number ~ w: keep it a few orders below
+            # 1/eps of the working precision
+            polish_weight = 1e8 if dt == jnp.float64 else 3e4
         w = jnp.asarray(polish_weight, dt)
         # active set from the final iterate: bound proximity or dual signal
         near_u = (u - z) < active_tol

@@ -109,7 +109,7 @@ def make_rollout_fn(
     actuator_mode: str = "consistent",     # "smart" | "consistent"
     robust_estimator: Optional[bool] = None,
     plant_step: Optional[Callable] = None,  # (x, u, w) -> x_next
-    infeas_tol: float = 2e-2,
+    infeas_tol: Optional[float] = None,
     infeas_persist: int = 3,
 ) -> Callable:
     """Build ``rollout(x0, refs, w, theta, gamma) -> (carry, StepOutputs)``.
@@ -155,14 +155,19 @@ def make_rollout_fn(
         U_t, x_nom0, xbar = _extract_packet(arrays, cfg, z)
 
         # --- feasibility detection ---------------------------------------
-        # A truly infeasible QP (the non-robust tracking arm after the
-        # state escapes X) keeps a large primal residual every step; the
-        # robust tube arm only shows transient residual spikes when the
-        # steady state rides the tightened boundary under solver error.
-        # Freeze an element only after ``infeas_persist`` consecutive
-        # high-residual steps (or non-finite iterates).
-        bad_now = jnp.logical_or(r_prim >= infeas_tol,
-                                 ~jnp.isfinite(jnp.sum(z)))
+        # Reference semantics: only the non-robust tracking arm carries a
+        # feasibility guard (``track_feasible``,
+        # ``results_linear_system.py:262-271``); the robust tube arm cannot
+        # go infeasible by design, so ``infeas_tol=None`` (default) only
+        # freezes on non-finite iterates.  A truly infeasible QP keeps a
+        # large primal residual every step, while boundary-riding tube
+        # instances only show transient solver-error spikes — hence the
+        # ``infeas_persist``-consecutive-steps requirement.
+        if infeas_tol is None:
+            bad_now = ~jnp.isfinite(jnp.sum(z))
+        else:
+            bad_now = jnp.logical_or(r_prim >= infeas_tol,
+                                     ~jnp.isfinite(jnp.sum(z)))
         infeas_count = jnp.where(bad_now, carry.infeas_count + 1,
                                  jnp.zeros((), jnp.int32))
         feasible = jnp.logical_and(
@@ -211,8 +216,9 @@ def make_rollout_fn(
             feasible=feasible)
         return out_carry, out
 
-    def rollout(x0, refs, w, theta, gamma):
-        carry0 = init_carry(arrays, cfg, x0, T)
+    def rollout(x0, refs, w, theta, gamma, carry0=None):
+        if carry0 is None:
+            carry0 = init_carry(arrays, cfg, x0, T)
         return jax.lax.scan(step, carry0, (refs, w, theta, gamma))
 
     return rollout
@@ -221,7 +227,7 @@ def make_rollout_fn(
 def make_batched_rollout(arrays, cfg, T, **kw) -> Callable:
     """vmap the rollout over leading batch axes of all inputs."""
     fn = make_rollout_fn(arrays, cfg, T, **kw)
-    return jax.vmap(fn)
+    return jax.vmap(fn, in_axes=(0, 0, 0, 0, 0))
 
 
 def tracking_error_rms(x0, xs, refs, feasible=None):
