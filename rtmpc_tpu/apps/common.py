@@ -1,0 +1,73 @@
+"""Shared plumbing for the runnable apps."""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+import numpy as np
+
+RESULTS_DIR = os.environ.get(
+    "RTMPC_RESULTS_DIR",
+    os.path.join(os.path.dirname(os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__)))), "results"))
+
+
+def make_parser(description: str) -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=description)
+    p.add_argument("--platform", default=None,
+                   help="jax platform override (e.g. 'cpu'); default uses "
+                        "the environment (TPU under the axon image)")
+    p.add_argument("--quick", action="store_true",
+                   help="shrink the workload for smoke runs")
+    p.add_argument("--no-figures", action="store_true",
+                   help="skip matplotlib figure generation")
+    p.add_argument("--dtype", default="float64",
+                   choices=["float32", "float64"],
+                   help="engine dtype (float64 only on CPU)")
+    p.add_argument("--seed", type=int, default=0)
+    return p
+
+
+def init_jax(args):
+    """Apply the platform override BEFORE any computation.
+
+    Env vars are not enough on this image (sitecustomize pre-imports jax),
+    hence the config update.  float64 requires the CPU backend.
+    """
+    import jax
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+    if args.dtype == "float64":
+        jax.config.update("jax_enable_x64", True)
+    return jax
+
+
+def savefig(fig, name: str, enabled: bool = True):
+    if not enabled:
+        return None
+    os.makedirs(RESULTS_DIR, exist_ok=True)
+    path = os.path.join(RESULTS_DIR, name)
+    fig.savefig(path, dpi=120, bbox_inches="tight")
+    print(f"[figure] {path}")
+    return path
+
+
+def check(name: str, ok: bool, detail: str = "") -> bool:
+    print(f"[{'PASS' if ok else 'FAIL'}] {name}" +
+          (f" — {detail}" if detail else ""))
+    return bool(ok)
+
+
+def report_solve_stats(times_ms: np.ndarray, label: str = ""):
+    """Reference's solve-time quantile report
+    (``results_linear_system.py:304-320``)."""
+    print(f"Solve-time stats{(' (' + label + ')') if label else ''} "
+          f"over {times_ms.size} solves [ms]: "
+          f"max={np.max(times_ms):.3f} "
+          f"p95={np.quantile(times_ms, 0.95):.3f} "
+          f"p90={np.quantile(times_ms, 0.9):.3f} "
+          f"p75={np.quantile(times_ms, 0.75):.3f} "
+          f"median={np.median(times_ms):.3f} "
+          f"mean={np.mean(times_ms):.3f}")

@@ -46,6 +46,7 @@ from ..sets.invariant import determine_mrpi, max_admissible_set, \
     tighten_constraints
 from ..ops.assembly import QPTemplate, build_mpc_qp
 from ..ops.qp import ADMMSpec, prepare_admm
+from ..ops.ip import IPSpec, prepare_ip
 
 __all__ = [
     "MPCSetup", "ControllerArrays", "ControllerConfig",
@@ -98,10 +99,19 @@ class MPCSetup:
     # ------------------------------------------------------------------
     def to_device(self, dtype=jnp.float32, pad_to: int = 8,
                   iters: int = 100, rho="auto", polish: bool = False,
+                  solver: str = "admm", ip_iters: int = 25,
                   probe_thetas: Optional[np.ndarray] = None,
                   **admm_kw):
-        """Freeze into (ControllerArrays, ControllerConfig) for the engine."""
+        """Freeze into (ControllerArrays, ControllerConfig) for the engine.
+
+        ``solver``: "admm" (throughput mode — shared factorization,
+        warm-started, Pallas-friendly) or "ip" (accuracy mode — batched
+        Mehrotra interior point, Clarabel-class residuals on every
+        instance, one dense factorization per instance per iteration).
+        """
         tmpl = self.template
+        # tune rho at (roughly) the iteration budget the engine will use
+        admm_kw.setdefault("tune_iters", max(100, min(iters, 600)))
         admm = prepare_admm(tmpl, rho=rho, pad_to=pad_to, dtype=dtype,
                             probe_thetas=probe_thetas, **admm_kw)
         if self.template_pr is not None:
@@ -110,6 +120,9 @@ class MPCSetup:
                                    **admm_kw)
         else:
             admm_pr = admm  # placeholder with identical structure
+        ip = prepare_ip(tmpl, pad_to=pad_to, dtype=dtype)
+        ip_pr = (prepare_ip(self.template_pr, pad_to=pad_to, dtype=dtype)
+                 if self.template_pr is not None else ip)
 
         nx, nu, N = self.nx, self.nu, self.N
         K = self.K if self.K is not None else np.zeros((nu, nx))
@@ -129,6 +142,8 @@ class MPCSetup:
         arrays = ControllerArrays(
             admm=admm,
             admm_pr=admm_pr,
+            ip=ip,
+            ip_pr=ip_pr,
             A=jnp.asarray(self.A, dtype),
             B=jnp.asarray(self.B, dtype),
             K_ss=jnp.asarray(K, dtype),
@@ -143,6 +158,8 @@ class MPCSetup:
             extended=self.template_pr is not None,
             iters=iters,
             polish=polish,
+            solver=solver,
+            ip_iters=ip_iters,
             u_off=nx * (N + 1),
             xbar_off=(nx * (N + 1) + nu * N) if tmpl.tracking else -1,
             ubar_off=(nx * (N + 1) + nu * N + nx) if tmpl.tracking else -1,
@@ -154,6 +171,8 @@ class ControllerArrays(NamedTuple):
     """Device pytree: everything the jitted per-step function reads."""
     admm: ADMMSpec
     admm_pr: ADMMSpec          # extended-MPC packet-received problem
+    ip: IPSpec                 # interior-point (accuracy mode) problem data
+    ip_pr: IPSpec
     A: jax.Array               # (nx, nx) plant/nominal model
     B: jax.Array               # (nx, nu)
     K_ss: jax.Array            # (nu, nx) steady-state gain (terminal law)
@@ -173,6 +192,8 @@ class ControllerConfig:
     extended: bool
     iters: int
     polish: bool
+    solver: str
+    ip_iters: int
     u_off: int
     xbar_off: int
     ubar_off: int

@@ -156,7 +156,7 @@ def prepare_admm(
     equilibrate: bool = True,
     big: float = 1e20,
     probe_thetas: Optional[np.ndarray] = None,
-    rho_candidates=(0.5, 2.0, 5.0, 15.0, 50.0),
+    rho_candidates=(0.5, 2.0, 5.0, 15.0, 50.0, 200.0),
     tune_iters: int = 150,
 ) -> ADMMSpec:
     """Host-side preparation: equilibrate, build K^{-1} in float64, pad, cast.
@@ -360,8 +360,8 @@ def admm_solve(spec: ADMMSpec, theta: jax.Array,
         xp, yp = penalty_solve(act, b_act)
         # Active-set refinement: drop rows whose multiplier has the wrong
         # sign (falsely pinned), add rows the polished point violates, then
-        # re-solve.  Two passes settle all but pathological degeneracies.
-        for _ in range(2):
+        # re-solve.  A few passes settle all but pathological degeneracies.
+        for _ in range(4):
             wrong_sign = jnp.where(b_act == u, yp < -active_tol,
                                    yp > active_tol) & ~is_eq
             Axp = spec.As @ xp

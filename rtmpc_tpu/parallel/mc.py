@@ -1,0 +1,126 @@
+"""Monte-Carlo packet-loss sweeps as one batched computation.
+
+The reference's Results scripts run nested Python loops: 10 loss
+probabilities x 20 Monte-Carlo runs x 250 steps, one Clarabel solve at a
+time (``results_linear_system.py:165-209``).  Here the whole sweep is a
+single batched rollout: batch = (n_probs * n_mc) elements, each with its
+own pre-drawn disturbance/loss realization, scanned over T and vmapped /
+shard_mapped over the batch (SURVEY.md section 2.4: DP over rollouts is the
+core parallel axis).
+
+``run_mc_sweep`` reproduces the artifacts of the Results scripts:
+per-(prob, mc) RMS tracking errors (NaN where an arm went infeasible, to be
+filtered like ``results_linear_system.py:334-339``), infeasibility counts,
+and sample trajectories per loss probability.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Dict, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..models.specs import ControllerArrays, ControllerConfig
+from ..protocol.network import draw_disturbances, draw_loss_masks
+from .rollout import make_rollout_fn, tracking_error_rms
+
+__all__ = ["MCSweepResult", "run_mc_sweep"]
+
+
+@dataclasses.dataclass
+class MCSweepResult:
+    loss_probs: np.ndarray          # (P,)
+    tracking_error: np.ndarray      # (P, M) RMS errors, NaN if infeasible
+    infeasible_counts: np.ndarray   # (P,) number of infeasible MC runs
+    sample_traj: np.ndarray         # (P, T, nx) trajectory of one MC run
+    sample_x_nom: np.ndarray        # (P, T, nx)
+    feasible: np.ndarray            # (P, M) bool
+    wall_time_s: float = 0.0
+
+    @property
+    def n_mc(self) -> int:
+        return self.tracking_error.shape[1]
+
+
+def run_mc_sweep(
+    arrays: ControllerArrays,
+    cfg: ControllerConfig,
+    *,
+    T: int,
+    n_mc: int,
+    loss_probs,
+    refs: np.ndarray,              # (T, nx) shared reference trajectory
+    x0: np.ndarray,                # (nx,)
+    w_lo, w_hi,                    # disturbance box
+    key: jax.Array,
+    actuator_mode: str = "consistent",
+    infeas_tol: Optional[float] = None,
+    plant_step: Optional[Callable] = None,
+    sample_mc_index: int = 5,
+    mesh=None,
+) -> MCSweepResult:
+    """Run the full sweep; returns host-side numpy artifacts.
+
+    ``sample_mc_index``: which MC run's trajectory to keep per probability
+    (the reference keeps run ``min(5, N_MC-1)``,
+    ``results_linear_system.py:298-301``).
+    ``mesh``: optional ``jax.sharding.Mesh`` with axis "dp" to shard the
+    batch across devices.
+    """
+    import time as _time
+
+    loss_probs = np.asarray(loss_probs, dtype=np.float64)
+    P, M = len(loss_probs), int(n_mc)
+    BATCH = P * M
+    nx = cfg.nx
+    dt = arrays.A.dtype
+
+    k1, k2 = jax.random.split(key)
+    p_flat = jnp.asarray(np.repeat(loss_probs, M))
+    theta, gamma = draw_loss_masks(k1, T, p_flat, p_flat,
+                                   batch_shape=(BATCH,))
+    w = draw_disturbances(k2, T, np.asarray(w_lo), np.asarray(w_hi),
+                          batch_shape=(BATCH,)).astype(dt)
+    refs_b = jnp.broadcast_to(jnp.asarray(refs, dt), (BATCH, T, nx))
+    x0_b = jnp.broadcast_to(jnp.asarray(x0, dt).reshape(nx), (BATCH, nx))
+
+    roll = make_rollout_fn(arrays, cfg, T, actuator_mode=actuator_mode,
+                           infeas_tol=infeas_tol, plant_step=plant_step)
+
+    def batched(x0b, refsb, wb, thetab, gammab):
+        carry, outs = jax.vmap(roll)(x0b, refsb, wb, thetab, gammab)
+        err = jax.vmap(tracking_error_rms)(
+            x0b, outs.x, refsb, carry.feasible)
+        return outs.x, outs.x_nom, err, carry.feasible
+
+    fn = jax.jit(batched)
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as Pspec
+        sh = NamedSharding(mesh, Pspec("dp"))
+        args = [jax.device_put(a, sh)
+                for a in (x0_b, refs_b, w, theta, gamma)]
+    else:
+        args = (x0_b, refs_b, w, theta, gamma)
+
+    t0 = _time.perf_counter()
+    xs, x_noms, err, feas = fn(*args)
+    xs.block_until_ready()
+    wall = _time.perf_counter() - t0
+
+    err = np.asarray(err).reshape(P, M)
+    feas = np.asarray(feas).reshape(P, M)
+    xs = np.asarray(xs).reshape(P, M, T, nx)
+    x_noms = np.asarray(x_noms).reshape(P, M, T, nx)
+    si = min(sample_mc_index, M - 1)
+    return MCSweepResult(
+        loss_probs=loss_probs,
+        tracking_error=err,
+        infeasible_counts=(~feas).sum(axis=1),
+        sample_traj=xs[:, si],
+        sample_x_nom=x_noms[:, si],
+        feasible=feas,
+        wall_time_s=wall,
+    )

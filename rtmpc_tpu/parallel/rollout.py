@@ -39,12 +39,14 @@ import jax.numpy as jnp
 
 from ..models.specs import ControllerArrays, ControllerConfig
 from ..ops.qp import ADMMState, admm_solve, init_admm_state
+from ..ops.ip import ip_solve
 from ..protocol.actuator import ActuatorState, actuator_step, init_actuator
 from ..protocol.estimator import (EstimatorState, estimator_update,
                                   init_estimator, store_sequence)
 
 __all__ = ["RolloutCarry", "StepOutputs", "init_carry", "make_rollout_fn",
-           "make_batched_rollout", "tracking_error_rms"]
+           "make_batched_rollout", "make_direct_rollout",
+           "tracking_error_rms"]
 
 
 class RolloutCarry(NamedTuple):
@@ -102,6 +104,21 @@ def _extract_packet(arrays: ControllerArrays, cfg: ControllerConfig, z):
     return U_t, x_nom0, xbar
 
 
+def _solve(arrays, cfg, theta_qp, warm_state, pr=False):
+    """Dispatch to the configured QP solver, returning an ADMMSolution-like
+    object (z_primal, state, r_prim, r_dual).  The IP path ignores (and
+    passes through) the warm-start state."""
+    if cfg.solver == "ip":
+        spec = arrays.ip_pr if pr else arrays.ip
+        sol = ip_solve(spec, theta_qp, iters=cfg.ip_iters)
+        from ..ops.qp import ADMMSolution
+        return ADMMSolution(z_primal=sol.z_primal, state=warm_state,
+                            r_prim=sol.r_prim, r_dual=sol.r_dual)
+    spec = arrays.admm_pr if pr else arrays.admm
+    return admm_solve(spec, theta_qp, warm_state,
+                      iters=cfg.iters, polish=cfg.polish)
+
+
 def make_rollout_fn(
     arrays: ControllerArrays,
     cfg: ControllerConfig,
@@ -130,16 +147,14 @@ def make_rollout_fn(
 
         theta_qp = jnp.concatenate([x_hat, ref_t])
 
-        # --- controller QP solve (warm started) --------------------------
-        sol = admm_solve(arrays.admm, theta_qp, carry.admm,
-                         iters=cfg.iters, polish=cfg.polish)
+        # --- controller QP solve -----------------------------------------
+        sol = _solve(arrays, cfg, theta_qp, carry.admm, pr=False)
         if cfg.extended:
             # solve the packet-received problem too and select on the
             # PREVIOUS step's gamma (driver ordering at
             # results_linear_system_with_extendedMPC.py:260-378: gamma is
             # re-drawn only after the controller computed its packet)
-            sol_pr = admm_solve(arrays.admm_pr, theta_qp, carry.admm_pr,
-                                iters=cfg.iters, polish=cfg.polish)
+            sol_pr = _solve(arrays, cfg, theta_qp, carry.admm_pr, pr=True)
             use_pr = carry.prev_gamma == 1
             pick = lambda a, b: jax.tree_util.tree_map(
                 lambda p, n: jnp.where(use_pr, p, n), a, b)
@@ -251,3 +266,52 @@ def tracking_error_rms(x0, xs, refs, feasible=None):
     if feasible is not None:
         err = jnp.where(feasible, err, jnp.nan)
     return err
+
+
+def make_direct_rollout(
+    arrays: ControllerArrays,
+    cfg: ControllerConfig,
+    T: int,
+    ancillary: bool = False,
+    plant_step: Optional[Callable] = None,
+) -> Callable:
+    """Non-networked closed loop: solve the QP from the *measured* state and
+    apply its first input every step — the loops of
+    ``Example_of_Regulator_MPC.py:46-62``, ``Example_of_Tracking_MPC.py:65-81``
+    (``ancillary=False``: u = u*_0) and ``Example_of_Tube_Regulator_MPC.py`` /
+    ``Example_of_Tube_Tracking_MPC.py:77-106`` (``ancillary=True``:
+    u = u*_0 - K (x - x*_nom0), Mayne's tube law).
+
+    Returns ``rollout(x0, refs, w) -> (carry, outs)`` with outs
+    ``(x, u, x_nom0, xbar, r_prim, r_dual)``; vmap for batches.
+    """
+    if plant_step is None:
+        def plant_step(x, u, w):
+            return arrays.A @ x + arrays.B @ u + w
+
+    def step(carry, inp):
+        x, admm_state = carry
+        ref_t, w_t = inp
+        theta_qp = jnp.concatenate([x, ref_t])
+        sol = _solve(arrays, cfg, theta_qp, admm_state)
+        z = sol.z_primal
+        u0 = z[cfg.u_off:cfg.u_off + cfg.nu]
+        x_nom0 = z[:cfg.nx]
+        if ancillary:
+            u = u0 - arrays.K_plant @ (x - x_nom0)
+        else:
+            u = u0
+        if cfg.tracking:
+            xbar = z[cfg.xbar_off:cfg.xbar_off + cfg.nx]
+        else:
+            xbar = jnp.zeros(cfg.nx, z.dtype)
+        x_next = plant_step(x, u, w_t)
+        return (x_next, sol.state), (x_next, u, x_nom0, xbar,
+                                     sol.r_prim, sol.r_dual)
+
+    def rollout(x0, refs, w):
+        x0 = jnp.asarray(x0, arrays.A.dtype).reshape(cfg.nx)
+        carry0 = (x0, init_admm_state(arrays.admm))
+        return jax.lax.scan(step, carry0, (refs, w))
+
+    return rollout

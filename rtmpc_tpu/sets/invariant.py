@@ -201,7 +201,11 @@ def determine_mrpi(Acl: np.ndarray, W: Polytope, X: Optional[Polytope] = None,
         else:
             Fs, status = mrpi_rakovic(Acl, W, eps_var=eps_var, s_max=s_max)
         if status == 0:
-            return reduce_poly(Fs)
+            # epsilon-reduction: mRPI approximations carry near-duplicate
+            # facet directions that degenerate QP duals and stall ADMM;
+            # merging them inflates the set by <= ~1e-7 (outer approx, safe
+            # for tube/tightening use)
+            return reduce_poly(Fs, angular_tol=1e-9, slack_tol=1e-7)
         s_max *= 10
     raise RuntimeError("mRPI computation failed to converge even after "
                        f"escalating s_max to {s_max // 10}")

@@ -321,11 +321,21 @@ def chebyshev_center(poly: Polytope):
 # Redundancy removal, intersection, containment
 # ---------------------------------------------------------------------------
 
-def reduce_poly(poly: Polytope, tol: float = 1e-9) -> Polytope:
+def reduce_poly(poly: Polytope, tol: float = 1e-9,
+                angular_tol: float = 0.0,
+                slack_tol: float = 0.0) -> Polytope:
     """Remove redundant rows (LP per candidate row). Replaces ``pc.reduce``.
 
     Row i is redundant iff ``max{A_i x : all other rows} <= b_i``.
     Rows are first normalized and exact duplicates dropped.
+
+    Epsilon mode (outer approximation, set can only GROW by <= the given
+    slack): ``angular_tol > 0`` merges rows whose normalized directions
+    satisfy ``1 - cos(angle) < angular_tol`` keeping the tightest offset
+    (mRPI approximations produce near-duplicate directions — cosines of
+    1-1e-15 — which are exactly-irredundant but degenerate the QP duals and
+    stall ADMM); ``slack_tol > 0`` additionally drops rows violated by at
+    most ``slack_tol`` (epsilon-redundant rows).
     """
     A, b = poly.A.copy(), poly.b.copy()
     norms = np.linalg.norm(A, axis=1)
@@ -345,6 +355,22 @@ def reduce_poly(poly: Polytope, tol: float = 1e-9) -> Polytope:
             uniq.append(i)
     A, b = A[uniq], b[uniq]
 
+    if angular_tol > 0.0 and A.shape[0] > 1:
+        # Greedy direction clustering: keep the tightest row per cluster.
+        taken = np.zeros(A.shape[0], dtype=bool)
+        rows_a, rows_b = [], []
+        order2 = np.argsort(b)  # tightest offsets claim clusters first
+        for i in order2:
+            if taken[i]:
+                continue
+            cos = A @ A[i]
+            members = (1.0 - cos < angular_tol) & ~taken
+            taken |= members
+            rows_a.append(A[i])
+            rows_b.append(b[members].min())
+        A = np.vstack(rows_a)
+        b = np.asarray(rows_b)
+
     keep = np.ones(A.shape[0], dtype=bool)
     for i in range(A.shape[0]):
         mask = keep.copy()
@@ -353,7 +379,7 @@ def reduce_poly(poly: Polytope, tol: float = 1e-9) -> Polytope:
             continue
         res = sopt.linprog(c=-A[i], A_ub=A[mask], b_ub=b[mask] + tol,
                            bounds=(None, None), method=_LP_METHOD)
-        if res.status == 0 and -res.fun <= b[i] + tol:
+        if res.status == 0 and -res.fun <= b[i] + max(tol, slack_tol):
             keep[i] = False
     return Polytope(A[keep], b[keep])
 

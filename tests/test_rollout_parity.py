@@ -50,9 +50,9 @@ def _draw_inputs(seed, p=0.7):
 
 
 def _run_engine(setup, refs, w, theta, gamma, mode, iters=400,
-                polish=False):
+                polish=False, solver="admm"):
     arrays, cfg = setup.to_device(dtype=jnp.float64, iters=iters,
-                                  polish=polish,
+                                  polish=polish, solver=solver,
                                   probe_thetas=np.array(
                                       [[1.0, 2.0, 5.0, 0.0],
                                        [0.0, 0.0, -9.0, 0.0]]))
@@ -128,15 +128,13 @@ def test_extended_tube_tracking_parity():
     w = np.clip(w, -0.05, 0.05)
     oracle = run_oracle_rollout(setup, X0, refs, w, theta, gamma)
     assert oracle["feasible"]
+    # engine in interior-point mode: both sides now solve each QP to
+    # Clarabel-class accuracy, so this asserts pure PROTOCOL parity of the
+    # extended (two-QP, robust-estimator) machinery
     carry, outs = _run_engine(setup, refs, w, theta, gamma, "consistent",
-                              iters=500, polish=True)
-    # Worst-case transient steps carry ~1e-2 solver-accuracy error (hard
-    # saturating instances where even the polish is rejected — TODO round 2:
-    # per-instance adaptive rho); typical steps agree to <1e-3.
+                              solver="ip")
     dx = np.abs(outs.x - oracle["x"]).max(axis=1)
-    assert dx.max() < 3e-2, f"worst-step divergence {dx.max():.3e}"
-    assert np.quantile(dx, 0.75) < 1e-3, \
-        f"75th-percentile divergence {np.quantile(dx, 0.75):.3e}"
+    assert dx.max() < 1e-4, f"worst-step divergence {dx.max():.3e}"
     np.testing.assert_array_equal(outs.Theta, oracle["Theta"])
 
 
