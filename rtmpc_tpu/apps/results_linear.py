@@ -1,0 +1,154 @@
+"""Paper Figs. 3a/3d reproduction: linearized cartpole Monte-Carlo sweep.
+
+Equivalent of ``Results/results_linear_system.py``: robust tube tracking
+MPC (RT-MPC) vs non-robust remote tracking MPC (R-MPC) over packet-loss
+probabilities 0..0.9, N_MC runs x T=250 steps each, RMS tracking errors as
+boxplot data, infeasibility counts for the non-robust arm, and solve-time
+statistics — except the whole sweep runs as ONE batched computation per
+arm instead of nested Python loops.
+"""
+
+import time
+
+import numpy as np
+
+from .common import check, init_jax, make_parser, report_solve_stats, savefig
+from .scenarios import cartpole_scenario
+
+
+def main(argv=None):
+    parser = make_parser(__doc__)
+    parser.add_argument("--n-mc", type=int, default=20)
+    parser.add_argument("--no-cache", action="store_true")
+    args = parser.parse_args(argv)
+    jax = init_jax(args)
+    import jax.numpy as jnp
+    from ..models import setup_tracking, setup_tube_tracking
+    from ..models.cache import cached_setup
+    from ..parallel.mc import run_mc_sweep
+
+    sc = cartpole_scenario()
+    if args.quick:
+        T, n_mc = 60, 4
+        probs = [0.0, 0.3, 0.6, 0.9]
+    else:
+        T, n_mc = sc.T, args.n_mc
+        probs = [0.0, 0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]
+
+    print("setting up tube-tracking controller (rpi_method=1, eq. 8d)...")
+    t0 = time.time()
+    tube = cached_setup(setup_tube_tracking, sc.A, sc.B, sc.Q, sc.R, sc.N,
+                        sc.X, sc.U, sc.W, fixed_initial_state=True,
+                        rpi_method=1, cache=not args.no_cache)
+    track = cached_setup(setup_tracking, sc.A, sc.B, sc.Q, sc.R, sc.N,
+                         sc.X, sc.U, cache=not args.no_cache)
+    print(f"setup done in {time.time() - t0:.1f}s "
+          f"(Z rows {tube.Z.nrows}, Xf rows {tube.Xf.nrows})")
+
+    dtype = jnp.dtype(args.dtype)
+    arrays_tube, cfg_tube = tube.to_device(dtype=dtype, solver="ip",
+                                           ip_iters=30)
+    arrays_track, cfg_track = track.to_device(dtype=dtype, solver="ip",
+                                              ip_iters=30)
+
+    refs = np.zeros((T, 4))
+    refs[:, 0] = sc.ref_value
+    key = jax.random.PRNGKey(args.seed)
+    k_tube, k_track = jax.random.split(key)
+
+    print(f"running sweep: {len(probs)} probs x {n_mc} runs x {T} steps, "
+          f"2 arms")
+    res_tube = run_mc_sweep(
+        arrays_tube, cfg_tube, T=T, n_mc=n_mc, loss_probs=probs, refs=refs,
+        x0=sc.x0, w_lo=sc.w_lo, w_hi=sc.w_hi, key=k_tube,
+        actuator_mode="consistent")
+    # the same disturbance/loss key per arm mirrors the reference's shared
+    # RNG streams across arms
+    res_track = run_mc_sweep(
+        arrays_track, cfg_track, T=T, n_mc=n_mc, loss_probs=probs,
+        refs=refs, x0=sc.x0, w_lo=sc.w_lo, w_hi=sc.w_hi, key=k_tube,
+        actuator_mode="smart", infeas_tol=2e-2)
+
+    n_solves = len(probs) * n_mc * T * 2
+    per_solve_ms = 1e3 * (res_tube.wall_time_s + res_track.wall_time_s) \
+        / n_solves
+    print(f"wall time: tube {res_tube.wall_time_s:.2f}s + track "
+          f"{res_track.wall_time_s:.2f}s for {n_solves} QP solves "
+          f"({per_solve_ms:.4f} ms/solve amortized)")
+    report_solve_stats(np.full(8, per_solve_ms), "amortized batched")
+
+    print("\nTracking-error summary (mean RMS per loss probability):")
+    print("  p     RT-MPC (tube)   R-MPC (track)   track infeasible")
+    for i, p in enumerate(probs):
+        te_tube = np.nanmean(res_tube.tracking_error[i])
+        tr = res_track.tracking_error[i]
+        te_track = np.nanmean(tr) if not np.all(np.isnan(tr)) else np.nan
+        print(f"  {p:.1f}   {te_tube:12.5f} {te_track:15.5f} "
+              f"{int(res_track.infeasible_counts[i]):8d}/{n_mc}")
+
+    ok = check("tube arm always feasible", bool(res_tube.feasible.all()))
+    # errors stay bounded and same order across loss probabilities (the
+    # tube controller's whole point); strict monotonicity is noise-limited
+    # at small N_MC
+    e0 = float(np.nanmean(res_tube.tracking_error[0]))
+    e9 = float(np.nanmean(res_tube.tracking_error[-1]))
+    ok &= check("tube errors bounded across loss probabilities",
+                0.3 * e0 < e9 < 3.0 * e0, f"p0 {e0:.4f} vs p0.9 {e9:.4f}")
+    if not args.quick:
+        ok &= check(
+            "non-robust arm fails at high loss (reference Fig. 3a behavior)",
+            int(res_track.infeasible_counts[-3:].sum()) > 0,
+            f"counts {res_track.infeasible_counts.tolist()}")
+
+    if not args.no_figures:
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+        fig, ax = plt.subplots(figsize=(8, 5))
+        pos = np.arange(len(probs)) * 2.0
+        bp1 = ax.boxplot([res_tube.tracking_error[i] for i in
+                          range(len(probs))], positions=pos - 0.35,
+                         widths=0.6, patch_artist=True, sym="x",
+                         boxprops=dict(facecolor="C0"))
+        track_filtered = [res_track.tracking_error[i][
+            ~np.isnan(res_track.tracking_error[i])] or [np.nan]
+            if isinstance(res_track.tracking_error[i], list)
+            else res_track.tracking_error[i][
+                ~np.isnan(res_track.tracking_error[i])]
+            for i in range(len(probs))]
+        track_filtered = [t if t.size else np.array([np.nan])
+                          for t in track_filtered]
+        bp2 = ax.boxplot(track_filtered, positions=pos + 0.35, widths=0.6,
+                         patch_artist=True, sym="x",
+                         boxprops=dict(facecolor="C1"))
+        ax.set_xticks(pos)
+        ax.set_xticklabels([f"{p:.1f}" for p in probs])
+        ax.set_xlabel("Packet Loss Probability")
+        ax.set_ylabel("Average Tracking Error")
+        ax.legend([bp1["boxes"][0], bp2["boxes"][0]],
+                  ["RT-MPC", "R-MPC"])
+        savefig(fig, "results_linear_boxplot.png")
+
+        # sample trajectories at p=0.4 (reference Fig. 3a inset style)
+        pi = min(range(len(probs)), key=lambda i: abs(probs[i] - 0.4))
+        fig2, (ax1, ax2) = plt.subplots(nrows=2, figsize=(8, 5))
+        tgrid = sc.Th * np.arange(T)
+        ax1.plot(tgrid, res_tube.sample_traj[pi, :, 0], "-.",
+                 label="RT-MPC")
+        ax1.plot(tgrid, res_track.sample_traj[pi, :, 0], "--",
+                 label="R-MPC")
+        ax1.axhline(sc.ref_value, color="k", lw=1, label="r(k)")
+        ax1.set_ylabel("Position p [m]")
+        ax1.legend(); ax1.grid()
+        ax2.plot(tgrid, res_tube.sample_traj[pi, :, 2], "-.")
+        ax2.plot(tgrid, res_track.sample_traj[pi, :, 2], "--")
+        ax2.axhline(0.3, color="r"); ax2.axhline(-0.3, color="r")
+        ax2.set_ylabel("Angle phi [rad]")
+        ax2.set_xlabel("Time [s]")
+        ax2.grid()
+        savefig(fig2, "results_linear_trajectories.png")
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

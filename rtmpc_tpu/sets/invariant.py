@@ -25,7 +25,7 @@ import numpy as np
 
 from ..utils.polytope import (
     Polytope, convex_hull, intersect, mink_sum, poly_equal, pont_diff,
-    reduce_poly, scale, support_many,
+    reduce_poly, scale, support, support_many,
 )
 
 __all__ = ["mrpi_rakovic", "rpi_darup", "max_admissible_set",
@@ -160,26 +160,38 @@ def rpi_darup(A: np.ndarray, W: Polytope, X: Polytope, U: Polytope,
 
 
 def max_admissible_set(A: np.ndarray, X: Polytope, max_iter: int = 500,
-                       reduce_every: int = 1) -> Polytope:
+                       tol: float = 1e-7) -> Polytope:
     """Gilbert–Tan Alg. 3.1 maximal output admissible set ``O_inf`` for
     ``x+ = A x`` with ``x in X`` for all k.
 
-    Iterates ``O_{t+1} = O_t ∩ {G A^{t+1} x <= f}`` to the fixed point (set
-    equality via mutual support containment).  Intermediate polytopes are
-    reduced to keep the row count (and LP cost) bounded — the reference lets
-    ``pc.reduce`` inside ``intersect`` do this implicitly.
+    Iterates ``O_{t+1} = O_t ∩ {G A^{t+1} x <= f}`` to the fixed point.
+    Convergence test per Gilbert–Tan: ``O_{t+1} == O_t`` iff every *new*
+    row is redundant w.r.t. ``O_t`` — one support LP per new row, instead
+    of the reference's full polytope-equality/reduction per iteration
+    (``utils_polytope.py:257-266``), which is what makes the 9-dimensional
+    augmented cartpole system tractable.  Rows already redundant are not
+    appended; one exact reduction at the end.
     """
     A = np.asarray(A, dtype=np.float64)
     G, f = X.A, X.b
+    rows_A = [G.copy()]
+    rows_b = [f.copy()]
     O = Polytope(G.copy(), f.copy())
     Apow = np.eye(A.shape[0])
     for t in range(max_iter):
         Apow = Apow @ A
-        Onext = intersect(O, Polytope(G @ Apow, f))
-        Onext = reduce_poly(Onext) if (t % reduce_every == 0) else Onext
-        if poly_equal(O, Onext):
-            return O
-        O = Onext
+        Gnew = G @ Apow
+        # support of the current set along each candidate row
+        keep_rows = []
+        for i in range(Gnew.shape[0]):
+            sup = support(O, Gnew[i], use_vrep=False)
+            if sup > f[i] + tol:
+                keep_rows.append(i)
+        if not keep_rows:
+            return reduce_poly(O)
+        rows_A.append(Gnew[keep_rows])
+        rows_b.append(f[keep_rows])
+        O = Polytope(np.vstack(rows_A), np.concatenate(rows_b))
     raise RuntimeError(f"Gilbert-Tan did not converge in {max_iter} iters")
 
 
