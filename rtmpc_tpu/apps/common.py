@@ -23,9 +23,10 @@ def make_parser(description: str) -> argparse.ArgumentParser:
                    help="shrink the workload for smoke runs")
     p.add_argument("--no-figures", action="store_true",
                    help="skip matplotlib figure generation")
-    p.add_argument("--dtype", default="float64",
+    p.add_argument("--dtype", default=None,
                    choices=["float32", "float64"],
-                   help="engine dtype (float64 only on CPU)")
+                   help="engine dtype; default float64 on CPU, float32 on "
+                        "TPU (TPU has no f64 linear-algebra kernels)")
     p.add_argument("--seed", type=int, default=0)
     return p
 
@@ -39,6 +40,9 @@ def init_jax(args):
     import jax
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
+    if args.dtype is None:
+        args.dtype = ("float64" if jax.default_backend() == "cpu"
+                      else "float32")
     if args.dtype == "float64":
         jax.config.update("jax_enable_x64", True)
     return jax

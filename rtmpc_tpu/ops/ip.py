@@ -31,6 +31,7 @@ import jax
 import jax.numpy as jnp
 
 from .assembly import QPTemplate
+from .precision import mm
 
 __all__ = ["IPSpec", "prepare_ip", "ip_solve", "IPSolution"]
 
@@ -133,10 +134,10 @@ def ip_solve(spec: IPSpec, theta: jax.Array, iters: int = 25) -> IPSolution:
     """
     dt = spec.P.dtype
     theta = theta.astype(dt)
-    q = spec.q0 + spec.Mq @ theta
-    b = spec.b0 + spec.Mb @ theta
-    lo = spec.lo0 + spec.Mlo @ theta
-    up = spec.up0 + spec.Mup @ theta
+    q = spec.q0 + mm(spec.Mq, theta)
+    b = spec.b0 + mm(spec.Mb, theta)
+    lo = spec.lo0 + mm(spec.Mlo, theta)
+    up = spec.up0 + mm(spec.Mup, theta)
 
     n = spec.P.shape[0]
     me = spec.Ae.shape[0]
@@ -154,8 +155,8 @@ def ip_solve(spec: IPSpec, theta: jax.Array, iters: int = 25) -> IPSolution:
     lu0 = jax.scipy.linalg.lu_factor(K0)
     xy = jax.scipy.linalg.lu_solve(lu0, jnp.concatenate([-q, b]))
     x = xy[:n]
-    su = jnp.maximum(hu * (up - spec.Ai @ x), 1.0)
-    sl = jnp.maximum(hl * (spec.Ai @ x - lo), 1.0)
+    su = jnp.maximum(hu * (up - mm(spec.Ai, x)), 1.0)
+    sl = jnp.maximum(hl * (mm(spec.Ai, x) - lo), 1.0)
     lu_ = jnp.ones(mi, dt) * hu
     ll_ = jnp.ones(mi, dt) * hl
     su = jnp.where(hu > 0, su, 1.0)
@@ -175,10 +176,10 @@ def ip_solve(spec: IPSpec, theta: jax.Array, iters: int = 25) -> IPSolution:
 
     def body(_, st):
         x, y, su, sl, lu_, ll_ = st
-        Aix = spec.Ai @ x
-        rd = spec.P @ x + q + spec.Ae.T @ y + spec.Ai.T @ (hu * lu_ -
-                                                           hl * ll_)
-        re = spec.Ae @ x - b
+        Aix = mm(spec.Ai, x)
+        rd = (mm(spec.P, x) + q + mm(spec.Ae.T, y)
+              + mm(spec.Ai.T, hu * lu_ - hl * ll_))
+        re = mm(spec.Ae, x) - b
         riu = hu * (Aix + su - up)
         ril = hl * (Aix - sl - lo)
         mu = (jnp.sum(hu * su * lu_) + jnp.sum(hl * sl * ll_)) / n_active
@@ -186,7 +187,7 @@ def ip_solve(spec: IPSpec, theta: jax.Array, iters: int = 25) -> IPSolution:
         Du = hu * lu_ / su
         Dl = hl * ll_ / sl
         D = Du + Dl
-        H = spec.P + (spec.Ai.T * D) @ spec.Ai
+        H = spec.P + mm(spec.Ai.T * D, spec.Ai)
         K = jnp.zeros((n + me, n + me), dt)
         K = K.at[:n, :n].set(H + 1e-10 * jnp.eye(n, dtype=dt))
         K = K.at[:n, n:].set(spec.Ae.T)
@@ -201,11 +202,11 @@ def ip_solve(spec: IPSpec, theta: jax.Array, iters: int = 25) -> IPSolution:
             # => dlam_u - dlam_l = (tmp_u - tmp_l) + D (Ai dx)
             tmp_u = hu * (-rcu + lu_ * riu) / su
             tmp_l = hl * (-rcl - ll_ * ril) / sl
-            rhs_x = -rd - spec.Ai.T @ (tmp_u - tmp_l)
+            rhs_x = -rd - mm(spec.Ai.T, tmp_u - tmp_l)
             sol = jax.scipy.linalg.lu_solve(
                 lufac, jnp.concatenate([rhs_x, -re]))
             dx, dy = sol[:n], sol[n:]
-            dAix = spec.Ai @ dx
+            dAix = mm(spec.Ai, dx)
             dsu = hu * (-riu - dAix)
             dsl = hl * (ril + dAix)
             dlu = hu * (-rcu - lu_ * dsu) / su
@@ -246,12 +247,13 @@ def ip_solve(spec: IPSpec, theta: jax.Array, iters: int = 25) -> IPSolution:
     x, y, su, sl, lu_, ll_ = jax.lax.fori_loop(
         0, iters, body, (x, y, su, sl, lu_, ll_))
 
-    Aix = spec.Ai @ x
+    Aix = mm(spec.Ai, x)
     r_prim = jnp.maximum(
-        jnp.max(jnp.abs(spec.Ae @ x - b)),
+        jnp.max(jnp.abs(mm(spec.Ae, x) - b)),
         jnp.maximum(jnp.max(hu * jnp.maximum(Aix - up, 0.0)),
                     jnp.max(hl * jnp.maximum(lo - Aix, 0.0))))
     r_dual = jnp.max(jnp.abs(
-        spec.P @ x + q + spec.Ae.T @ y + spec.Ai.T @ (hu * lu_ - hl * ll_)))
+        mm(spec.P, x) + q + mm(spec.Ae.T, y)
+        + mm(spec.Ai.T, hu * lu_ - hl * ll_)))
     gap = (jnp.sum(hu * su * lu_) + jnp.sum(hl * sl * ll_)) / n_active
     return IPSolution(z_primal=x, r_prim=r_prim, r_dual=r_dual, gap=gap)

@@ -39,6 +39,7 @@ import jax
 import jax.numpy as jnp
 
 from .assembly import QPTemplate
+from .precision import mm
 
 __all__ = ["ADMMSpec", "ADMMState", "ADMMSolution", "prepare_admm",
            "init_admm_state", "admm_solve"]
@@ -290,17 +291,17 @@ def admm_solve(spec: ADMMSpec, theta: jax.Array,
     if state is None:
         state = init_admm_state(spec)
     theta = theta.astype(spec.q0.dtype)
-    q = spec.q0 + spec.Mq @ theta
-    l = spec.l0 + spec.Ml @ theta
-    u = spec.u0 + spec.Mu @ theta
+    q = spec.q0 + mm(spec.Mq, theta)
+    l = spec.l0 + mm(spec.Ml, theta)
+    u = spec.u0 + mm(spec.Mu, theta)
 
     sigma, alpha = spec.sigma, spec.alpha
 
     def body(_, s: ADMMState) -> ADMMState:
         x, y, z = s
-        rhs = sigma * x - q + spec.As.T @ (spec.rho * z - y)
-        xt = spec.Kinv @ rhs
-        zt = spec.As @ xt
+        rhs = sigma * x - q + mm(spec.As.T, spec.rho * z - y)
+        xt = mm(spec.Kinv, rhs)
+        zt = mm(spec.As, xt)
         x_new = alpha * xt + (1.0 - alpha) * x
         z_mix = alpha * zt + (1.0 - alpha) * z
         z_new = jnp.clip(z_mix + y * spec.rho_inv, l, u)
@@ -312,12 +313,14 @@ def admm_solve(spec: ADMMSpec, theta: jax.Array,
     x, y, z = state
 
     def kkt_res(xv, yv):
-        rp = jnp.max(jnp.abs(jnp.clip(spec.As @ xv, l, u) - spec.As @ xv))
-        rd = jnp.max(jnp.abs(spec.Ps @ xv + q + spec.As.T @ yv))
+        Axv = mm(spec.As, xv)
+        rp = jnp.max(jnp.abs(jnp.clip(Axv, l, u) - Axv))
+        rd = jnp.max(jnp.abs(mm(spec.Ps, xv) + q + mm(spec.As.T, yv)))
         return rp, rd
 
-    r_prim, r_dual = (jnp.max(jnp.abs(spec.As @ x - z)),
-                      jnp.max(jnp.abs(spec.Ps @ x + q + spec.As.T @ y)))
+    r_prim, r_dual = (jnp.max(jnp.abs(mm(spec.As, x) - z)),
+                      jnp.max(jnp.abs(mm(spec.Ps, x) + q
+                                      + mm(spec.As.T, y))))
 
     if polish:
         dt = x.dtype
@@ -344,8 +347,8 @@ def admm_solve(spec: ADMMSpec, theta: jax.Array,
         def penalty_solve(act_k, b_k):
             d = act_k.astype(dt)
             Aw = spec.As * d[:, None]
-            M = spec.Ps + sig_pol * eye + w * (Aw.T @ Aw)
-            rhs0 = -q + w * (Aw.T @ (d * b_k))
+            M = spec.Ps + sig_pol * eye + w * mm(Aw.T, Aw)
+            rhs0 = -q + w * mm(Aw.T, d * b_k)
             # Direct dense solve: LU exists on TPU for f32 and on local CPU
             # for f64 (the two deployment modes).  kappa(M) ~ w, so two
             # refinement rounds recover the digits the factorization loses.
@@ -353,8 +356,8 @@ def admm_solve(spec: ADMMSpec, theta: jax.Array,
             xk = jax.scipy.linalg.lu_solve((lu, piv), rhs0)
             for _ in range(2):
                 xk = xk + jax.scipy.linalg.lu_solve((lu, piv),
-                                                    rhs0 - M @ xk)
-            yk = w * d * (spec.As @ xk - b_k)
+                                                    rhs0 - mm(M, xk))
+            yk = w * d * (mm(spec.As, xk) - b_k)
             return xk, yk
 
         xp, yp = penalty_solve(act, b_act)
@@ -364,7 +367,7 @@ def admm_solve(spec: ADMMSpec, theta: jax.Array,
         for _ in range(4):
             wrong_sign = jnp.where(b_act == u, yp < -active_tol,
                                    yp > active_tol) & ~is_eq
-            Axp = spec.As @ xp
+            Axp = mm(spec.As, xp)
             viol_u = Axp > u + active_tol
             viol_l = Axp < l - active_tol
             act = (act & ~wrong_sign) | viol_u | viol_l | is_eq

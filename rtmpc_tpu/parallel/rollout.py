@@ -41,6 +41,7 @@ from ..models.specs import ControllerArrays, ControllerConfig
 from ..ops.qp import ADMMState, admm_solve, init_admm_state
 from ..ops.ip import ip_solve
 from ..protocol.actuator import ActuatorState, actuator_step, init_actuator
+from ..ops.precision import mm
 from ..protocol.estimator import (EstimatorState, estimator_update,
                                   init_estimator, store_sequence)
 
@@ -95,7 +96,7 @@ def _extract_packet(arrays: ControllerArrays, cfg: ControllerConfig, z):
     if cfg.tracking:
         xbar = z[cfg.xbar_off:cfg.xbar_off + cfg.nx]
         ubar = z[cfg.ubar_off:cfg.ubar_off + cfg.nu]
-        u_ss = ubar + arrays.K_ss @ xbar
+        u_ss = ubar + mm(arrays.K_ss, xbar)
     else:
         xbar = jnp.zeros(cfg.nx, z.dtype)
         u_ss = jnp.zeros(cfg.nu, z.dtype)
@@ -138,7 +139,7 @@ def make_rollout_fn(
         robust_estimator = cfg.extended
     if plant_step is None:
         def plant_step(x, u, w):
-            return arrays.A @ x + arrays.B @ u + w
+            return mm(arrays.A, x) + mm(arrays.B, u) + w
 
     def step(carry: RolloutCarry, inp):
         ref_t, w_t, theta_t, gamma_t = inp
@@ -287,7 +288,7 @@ def make_direct_rollout(
     """
     if plant_step is None:
         def plant_step(x, u, w):
-            return arrays.A @ x + arrays.B @ u + w
+            return mm(arrays.A, x) + mm(arrays.B, u) + w
 
     def step(carry, inp):
         x, admm_state = carry
@@ -298,7 +299,7 @@ def make_direct_rollout(
         u0 = z[cfg.u_off:cfg.u_off + cfg.nu]
         x_nom0 = z[:cfg.nx]
         if ancillary:
-            u = u0 - arrays.K_plant @ (x - x_nom0)
+            u = u0 - mm(arrays.K_plant, x - x_nom0)
         else:
             u = u0
         if cfg.tracking:

@@ -26,6 +26,7 @@ from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
+from ..ops.precision import mm
 
 __all__ = ["ActuatorState", "init_actuator", "actuator_step"]
 
@@ -83,13 +84,13 @@ def actuator_step(
     idx = state.t - s_new
     u_play = u_buf[jnp.clip(idx, 0, N - 1)]
     law_state = x_nom if mode == "consistent" else x_t
-    u_term = u_buf[N] - K_ss @ law_state
+    u_term = u_buf[N] - mm(K_ss, law_state)
     u_nom = jnp.where(idx < N, u_play, u_term)
 
     if mode == "consistent":
-        u_t = u_nom - K_plant @ (x_t - x_nom)
+        u_t = u_nom - mm(K_plant, x_t - x_nom)
         x_reply = x_t if extended else x_nom
-        x_nom_next = A @ x_nom + B @ u_nom
+        x_nom_next = mm(A, x_nom) + mm(B, u_nom)
     else:
         u_t = u_nom
         x_reply = x_t

@@ -28,6 +28,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+from ..ops.precision import mm
 
 __all__ = ["EstimatorState", "init_estimator", "store_sequence",
            "estimator_update"]
@@ -78,18 +79,18 @@ def estimator_update(
     idx = state.t - s_pkt
     u_play = useq[jnp.clip(idx, 0, N - 1)]
     if robust:
-        u_term = useq[N] - K_ss @ x_nom_pkt
+        u_term = useq[N] - mm(K_ss, x_nom_pkt)
         u_nom = jnp.where(idx < N, u_play, u_term)
-        u_recv = u_nom - K_plant @ (x_pkt - x_nom_pkt)
+        u_recv = u_nom - mm(K_plant, x_pkt - x_nom_pkt)
     else:
-        u_term = useq[N] - K_ss @ x_pkt
+        u_term = useq[N] - mm(K_ss, x_pkt)
         u_recv = jnp.where(idx < N, u_play, u_term)
-    x_hat_recv = A @ x_pkt + B @ u_recv
+    x_hat_recv = mm(A, x_pkt) + mm(B, u_recv)
 
     # --- loss branch ------------------------------------------------------
     u_last0 = state.seq_buf[state.t][0]          # first input just sent
     x_base = state.x_nom0_mpc if robust else state.x_hat
-    x_hat_loss = A @ x_base + B @ u_last0
+    x_hat_loss = mm(A, x_base) + mm(B, u_last0)
 
     got = gamma_t == 1
     x_hat = jnp.where(got, x_hat_recv, x_hat_loss)
