@@ -204,8 +204,8 @@ def make_rollout_fn(
 
         # --- estimator update on the reply -------------------------------
         est_new = estimator_update(
-            est1, plant_pkt, gamma_t, arrays.A, arrays.B,
-            arrays.K_ss, arrays.K_plant, cfg.N, robust=robust_estimator)
+            est1, plant_pkt, gamma_t, arrays.A, arrays.B, U_t,
+            robust=robust_estimator)
 
         new_carry = RolloutCarry(
             x=x_next, act=act_new, est=est_new,

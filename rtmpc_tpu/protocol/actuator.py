@@ -66,7 +66,13 @@ def actuator_step(
 ) -> Tuple[jax.Array, Tuple, ActuatorState, dict]:
     """One ``process_packet`` call (``SmartActuator.py:31-54`` /
     ``:174-213``).  Returns ``(u_t, plant_packet, new_state, aux)`` where
-    ``plant_packet = (x_reply, s_t, x_nom_reply)``.
+    ``plant_packet = (x_reply, u_reply, x_nom_reply)``.
+
+    ``u_reply`` is the input the estimator's history-based reconstruction
+    would recover from ``(x_reply, s_t)`` — which, by the consistency
+    invariant, is exactly the input this function just computed (the
+    nominal input in consistent mode, the applied input otherwise); see
+    ``estimator.py`` module docstring.
     """
     # consistency metric and timestamps (eqs. (17), (18) of Pezzutto)
     last_drop = jnp.where(theta_t == 0, state.t, state.last_drop)
@@ -96,7 +102,8 @@ def actuator_step(
         x_reply = x_t
         x_nom_next = x_nom  # unused
 
-    plant_packet = (x_reply, s_new, x_nom)
+    u_reply = u_nom if (mode == "consistent" and not extended) else u_t
+    plant_packet = (x_reply, u_reply, x_nom)
     new_state = ActuatorState(
         t=state.t + 1, q=q_new, s=s_new, last_drop=last_drop,
         Theta=Theta.astype(jnp.int32), u_buf=u_buf, x_nom=x_nom_next)
