@@ -20,6 +20,10 @@ def main(argv=None):
     parser = make_parser(__doc__)
     parser.add_argument("--n-mc", type=int, default=20)
     parser.add_argument("--no-cache", action="store_true")
+    parser.add_argument("--checkpoint", default=None,
+                        help="npz path for per-chunk sweep checkpointing; "
+                             "re-run with the same path to resume")
+    parser.add_argument("--n-chunks", type=int, default=1)
     args = parser.parse_args(argv)
     jax = init_jax(args)
     import jax.numpy as jnp
@@ -58,16 +62,20 @@ def main(argv=None):
 
     print(f"running sweep: {len(probs)} probs x {n_mc} runs x {T} steps, "
           f"2 arms")
+    ckpt = lambda arm: (f"{args.checkpoint}.{arm}" if args.checkpoint
+                        else None)
     res_tube = run_mc_sweep(
         arrays_tube, cfg_tube, T=T, n_mc=n_mc, loss_probs=probs, refs=refs,
         x0=sc.x0, w_lo=sc.w_lo, w_hi=sc.w_hi, key=k_tube,
-        actuator_mode="consistent")
+        actuator_mode="consistent", checkpoint_path=ckpt("tube"),
+        n_chunks=args.n_chunks)
     # the same disturbance/loss key per arm mirrors the reference's shared
     # RNG streams across arms
     res_track = run_mc_sweep(
         arrays_track, cfg_track, T=T, n_mc=n_mc, loss_probs=probs,
         refs=refs, x0=sc.x0, w_lo=sc.w_lo, w_hi=sc.w_hi, key=k_tube,
-        actuator_mode="smart", infeas_tol=2e-2)
+        actuator_mode="smart", infeas_tol=2e-2,
+        checkpoint_path=ckpt("track"), n_chunks=args.n_chunks)
 
     n_solves = len(probs) * n_mc * T * 2
     per_solve_ms = 1e3 * (res_tube.wall_time_s + res_track.wall_time_s) \

@@ -61,6 +61,8 @@ def run_mc_sweep(
     plant_step: Optional[Callable] = None,
     sample_mc_index: int = 5,
     mesh=None,
+    checkpoint_path: Optional[str] = None,
+    n_chunks: int = 1,
 ) -> MCSweepResult:
     """Run the full sweep; returns host-side numpy artifacts.
 
@@ -69,7 +71,16 @@ def run_mc_sweep(
     ``results_linear_system.py:298-301``).
     ``mesh``: optional ``jax.sharding.Mesh`` with axis "dp" to shard the
     batch across devices.
+
+    Checkpoint / resume (the reference loses everything on a crash —
+    in-memory dicts only, ``results_linear_system.py:151-157``): with
+    ``checkpoint_path`` set and ``n_chunks > 1`` the batch is processed in
+    chunks along the probability axis and the accumulator is flushed to an
+    ``.npz`` after each chunk.  Re-running with the same path resumes after
+    the last finished chunk.  All randomness derives from ``key`` up front,
+    so chunking (and resuming) is bit-identical to a single-shot run.
     """
+    import os
     import time as _time
 
     loss_probs = np.asarray(loss_probs, dtype=np.float64)
@@ -97,30 +108,63 @@ def run_mc_sweep(
         return outs.x, outs.x_nom, err, carry.feasible
 
     fn = jax.jit(batched)
-    if mesh is not None:
+
+    def shard(a):
+        if mesh is None:
+            return a
         from jax.sharding import NamedSharding, PartitionSpec as Pspec
-        sh = NamedSharding(mesh, Pspec("dp"))
-        args = [jax.device_put(a, sh)
-                for a in (x0_b, refs_b, w, theta, gamma)]
-    else:
-        args = (x0_b, refs_b, w, theta, gamma)
+        return jax.device_put(a, NamedSharding(mesh, Pspec("dp")))
 
-    t0 = _time.perf_counter()
-    xs, x_noms, err, feas = fn(*args)
-    xs.block_until_ready()
-    wall = _time.perf_counter() - t0
-
-    err = np.asarray(err).reshape(P, M)
-    feas = np.asarray(feas).reshape(P, M)
-    xs = np.asarray(xs).reshape(P, M, T, nx)
-    x_noms = np.asarray(x_noms).reshape(P, M, T, nx)
+    # --- chunking / resume bookkeeping ---------------------------------
+    n_chunks = max(1, min(int(n_chunks), P))
+    bounds = np.linspace(0, P, n_chunks + 1).astype(int)  # prob-axis cuts
+    start_chunk = 0
+    err = np.full((P, M), np.nan)
+    feas = np.zeros((P, M), bool)
     si = min(sample_mc_index, M - 1)
+    sample_traj = np.zeros((P, T, nx))
+    sample_x_nom = np.zeros((P, T, nx))
+    wall = 0.0
+
+    fingerprint = np.array([P, M, T, nx, int(np.asarray(key)[0]),
+                            int(np.asarray(key)[-1])], np.int64)
+    if checkpoint_path and os.path.exists(checkpoint_path):
+        ck = np.load(checkpoint_path)
+        if np.array_equal(ck["fingerprint"], fingerprint):
+            start_chunk = int(ck["next_chunk"])
+            err, feas = ck["err"], ck["feas"]
+            sample_traj, sample_x_nom = ck["sample_traj"], ck["sample_x_nom"]
+            wall = float(ck["wall"])
+
+    for ci in range(start_chunk, n_chunks):
+        lo, hi = bounds[ci], bounds[ci + 1]
+        if hi == lo:
+            continue
+        sl = slice(lo * M, hi * M)
+        t0 = _time.perf_counter()
+        xs_c, xn_c, err_c, feas_c = fn(
+            shard(x0_b[sl]), shard(refs_b[sl]), shard(w[sl]),
+            shard(theta[sl]), shard(gamma[sl]))
+        xs_c.block_until_ready()
+        wall += _time.perf_counter() - t0
+        npp = hi - lo
+        err[lo:hi] = np.asarray(err_c).reshape(npp, M)
+        feas[lo:hi] = np.asarray(feas_c).reshape(npp, M)
+        sample_traj[lo:hi] = np.asarray(xs_c).reshape(npp, M, T, nx)[:, si]
+        sample_x_nom[lo:hi] = np.asarray(xn_c).reshape(npp, M, T, nx)[:, si]
+        if checkpoint_path:
+            tmp = checkpoint_path + ".tmp.npz"     # atomic write + rename
+            np.savez(tmp, fingerprint=fingerprint, next_chunk=ci + 1,
+                     err=err, feas=feas, sample_traj=sample_traj,
+                     sample_x_nom=sample_x_nom, wall=wall)
+            os.replace(tmp, checkpoint_path)
+
     return MCSweepResult(
         loss_probs=loss_probs,
         tracking_error=err,
         infeasible_counts=(~feas).sum(axis=1),
-        sample_traj=xs[:, si],
-        sample_x_nom=x_noms[:, si],
+        sample_traj=sample_traj,
+        sample_x_nom=sample_x_nom,
         feasible=feas,
         wall_time_s=wall,
     )
