@@ -25,7 +25,7 @@ import numpy as np
 
 from ..utils.polytope import (
     Polytope, convex_hull, intersect, mink_sum, poly_equal, pont_diff,
-    reduce_poly, scale, support, support_many,
+    reduce_poly, scale, support, support_lp_batch, support_many,
 )
 
 __all__ = ["mrpi_rakovic", "rpi_darup", "max_admissible_set",
@@ -181,12 +181,10 @@ def max_admissible_set(A: np.ndarray, X: Polytope, max_iter: int = 500,
     for t in range(max_iter):
         Apow = Apow @ A
         Gnew = G @ Apow
-        # support of the current set along each candidate row
-        keep_rows = []
-        for i in range(Gnew.shape[0]):
-            sup = support(O, Gnew[i], use_vrep=False)
-            if sup > f[i] + tol:
-                keep_rows.append(i)
+        # supports of the current set along all candidate rows: one batched
+        # native-LP kernel call per Gilbert-Tan iteration
+        sups = support_lp_batch(O.A, O.b, Gnew)
+        keep_rows = list(np.where(sups > f + tol)[0])
         if not keep_rows:
             return reduce_poly(O)
         rows_A.append(Gnew[keep_rows])

@@ -2,6 +2,7 @@ from .polytope import (
     Polytope,
     box,
     support,
+    support_lp_batch,
     support_many,
     pont_diff,
     mink_sum,
@@ -18,7 +19,7 @@ from .synthesis import dlqr, dlyap, c2d
 from .qp_ref import solve_qp_dense
 
 __all__ = [
-    "Polytope", "box", "support", "support_many", "pont_diff", "mink_sum",
+    "Polytope", "box", "support", "support_lp_batch", "support_many", "pont_diff", "mink_sum",
     "scale", "convex_hull", "extreme", "reduce_poly", "intersect", "contains",
     "poly_subset", "poly_equal", "dlqr", "dlyap", "c2d", "solve_qp_dense",
 ]

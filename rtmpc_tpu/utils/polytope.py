@@ -117,21 +117,51 @@ def box(lo, hi=None) -> Polytope:
 # Support functions
 # ---------------------------------------------------------------------------
 
-def support(poly: Polytope, x: np.ndarray, use_vrep: bool = True) -> float:
-    """Support function ``h_P(x) = max{ x^T y : A y <= b }``.
+def support_lp_batch(A: np.ndarray, b: np.ndarray,
+                     X: np.ndarray) -> np.ndarray:
+    """``h[j] = max{X[j] @ y : A y <= b}`` by dense LP, one per row of X.
 
-    Reference: ``utils_polytope.py:12-23`` (one LP per call).  Here: if the
-    V-rep is cached the LP collapses to ``max(V @ x)``.
+    Uses the native batched simplex kernel (``native/rtmpc_lp.cpp``, the
+    TPU build's replacement for the reference's per-call scipy/HiGHS LPs at
+    ``utils_polytope.py:19``) when available, scipy otherwise.  Unbounded
+    directions return ``+inf``; an infeasible (empty) polytope raises.
     """
-    x = np.asarray(x, dtype=np.float64).reshape(-1)
-    if use_vrep and poly.vertices is not None:
-        return float(np.max(poly.vertices @ x))
-    res = sopt.linprog(c=-x, A_ub=poly.A, b_ub=poly.b,
+    X = np.atleast_2d(np.asarray(X, dtype=np.float64))
+    from ._native import native_available, support_batch_native
+    if native_available():
+        h, status = support_batch_native(A, b, X)
+        bad = status == 2
+        if not np.any(bad):
+            return h
+        # fall through to scipy only for the failed rows (robustness)
+        for i in np.where(bad)[0]:
+            h[i] = _support_scipy(A, b, X[i])
+        return h
+    return np.array([_support_scipy(A, b, x) for x in X])
+
+
+def _support_scipy(A, b, x) -> float:
+    res = sopt.linprog(c=-x, A_ub=A, b_ub=b,
                        bounds=(None, None), method=_LP_METHOD)
+    if res.status == 3:        # unbounded
+        return np.inf
     if res.status != 0:
         raise RuntimeError(
             f"support LP failed with status {res.status}: {res.message}")
     return float(-res.fun)
+
+
+def support(poly: Polytope, x: np.ndarray, use_vrep: bool = True) -> float:
+    """Support function ``h_P(x) = max{ x^T y : A y <= b }``.
+
+    Reference: ``utils_polytope.py:12-23`` (one LP per call).  Here: if the
+    V-rep is cached the LP collapses to ``max(V @ x)``; otherwise one
+    native-kernel (or scipy) LP.
+    """
+    x = np.asarray(x, dtype=np.float64).reshape(-1)
+    if use_vrep and poly.vertices is not None:
+        return float(np.max(poly.vertices @ x))
+    return float(support_lp_batch(poly.A, poly.b, x[None])[0])
 
 
 def support_many(poly: Polytope, X: np.ndarray,
@@ -141,7 +171,7 @@ def support_many(poly: Polytope, X: np.ndarray,
     This is the hot call of the mRPI algorithms (each iteration needs the
     support of W in many directions).  If the polytope is bounded we
     enumerate its vertices once and evaluate all supports with a single
-    matmul; otherwise we fall back to per-row LPs.
+    matmul; otherwise we use one batched-LP kernel call.
     """
     X = np.atleast_2d(np.asarray(X, dtype=np.float64))
     if force_vertices or poly.vertices is not None:
@@ -151,7 +181,7 @@ def support_many(poly: Polytope, X: np.ndarray,
         V = poly.get_vertices()
         return np.max(X @ V.T, axis=1)
     except Exception:
-        return np.array([support(poly, x) for x in X])
+        return support_lp_batch(poly.A, poly.b, X)
 
 
 # ---------------------------------------------------------------------------
@@ -377,9 +407,8 @@ def reduce_poly(poly: Polytope, tol: float = 1e-9,
         mask[i] = False
         if not mask.any():
             continue
-        res = sopt.linprog(c=-A[i], A_ub=A[mask], b_ub=b[mask] + tol,
-                           bounds=(None, None), method=_LP_METHOD)
-        if res.status == 0 and -res.fun <= b[i] + max(tol, slack_tol):
+        sup = support_lp_batch(A[mask], b[mask] + tol, A[i][None])[0]
+        if np.isfinite(sup) and sup <= b[i] + max(tol, slack_tol):
             keep[i] = False
     return Polytope(A[keep], b[keep])
 
@@ -399,7 +428,7 @@ def contains(poly: Polytope, x, tol: float = 1e-7) -> bool:
 
 def poly_subset(p: Polytope, q: Polytope, tol: float = 1e-7) -> bool:
     """``P ⊆ Q`` iff for every row (a, c) of Q: ``h_P(a) <= c``."""
-    sup = np.array([support(p, a, use_vrep=False) for a in q.A])
+    sup = support_lp_batch(p.A, p.b, q.A)
     return bool(np.all(sup <= q.b + tol))
 
 
