@@ -72,10 +72,25 @@ def main():
 
     rollout = jax.jit(make_batched_rollout(arrays, cfg, T))
 
+    # shard the rollout batch over every visible device (pure data
+    # parallelism over scenarios — SURVEY.md section 2.4); jit partitions
+    # the vmapped computation automatically from the input shardings
+    n_dev = len(jax.devices())
+    if n_dev > 1 and BATCH % n_dev == 0:
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+        mesh = Mesh(np.array(jax.devices()), axis_names=("dp",))
+        sh = NamedSharding(mesh, P("dp"))
+        x0, refs, w, theta, gamma = (
+            jax.device_put(a, sh) for a in (x0, refs, w, theta, gamma))
+
     # warm-up / compile
     carry, outs = rollout(x0, refs, w, theta, gamma)
     outs.x.block_until_ready()
     feasible_frac = float(jnp.mean(carry.feasible.astype(jnp.float32)))
+
+    if os.environ.get("BENCH_PROFILE"):
+        with jax.profiler.trace(os.environ["BENCH_PROFILE"]):
+            rollout(x0, refs, w, theta, gamma)[1].x.block_until_ready()
 
     t0 = time.perf_counter()
     for _ in range(REPS):
