@@ -28,6 +28,13 @@ def make_parser(description: str) -> argparse.ArgumentParser:
                    help="engine dtype; default float64 on CPU, float32 on "
                         "TPU (TPU has no f64 linear-algebra kernels)")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--solver", default=None, choices=["ip", "admm"],
+                   help="QP solver: default 'ip' on CPU (f64 "
+                        "interior-point, Clarabel-class) and 'admm' with "
+                        "KKT polish on TPU (the IP path's per-iteration "
+                        "LU factorizations compile for minutes on TPU; "
+                        "ADMM+polish compiles in seconds at ~1e-4 f32 "
+                        "solution accuracy)")
     return p
 
 
@@ -45,7 +52,27 @@ def init_jax(args):
                       else "float32")
     if args.dtype == "float64":
         jax.config.update("jax_enable_x64", True)
+    if args.solver is None:
+        args.solver = "ip" if jax.default_backend() == "cpu" else "admm"
     return jax
+
+
+def solver_kwargs(args, ip_iters: int = 30, admm_iters: int = 300):
+    """``to_device`` solver arguments for the parsed app flags."""
+    if args.solver == "ip":
+        return dict(solver="ip", ip_iters=ip_iters, polish=True)
+    return dict(solver="admm", iters=admm_iters, polish=True)
+
+
+def check_tol(args) -> float:
+    """Constraint/invariant check tolerance for the active solver mode.
+
+    Accuracy mode (f64 interior point, the reference-parity path asserted
+    in tests) holds invariants to 1e-6 like the reference's Clarabel at
+    tol 1e-7; the f32 ADMM+polish throughput mode satisfies them to
+    solver tolerance (~1e-3 absolute on unit-scale constraints)."""
+    return 1e-6 if (args.solver == "ip" and args.dtype == "float64") \
+        else 2.5e-3
 
 
 def savefig(fig, name: str, enabled: bool = True):

@@ -8,7 +8,7 @@ matplotlib cart+pole drawing rendered via Agg and assembled with PIL.
 
 import numpy as np
 
-from .common import RESULTS_DIR, check, init_jax, make_parser
+from .common import solver_kwargs, RESULTS_DIR, check, init_jax, make_parser
 from .scenarios import cartpole_scenario
 
 
@@ -79,8 +79,8 @@ def main(argv=None):
     ok = True
     for name, setup, mode in [("tube", tube, "consistent"),
                               ("track", track, "smart")]:
-        arrays, cfg = setup.to_device(dtype=dtype, solver="ip",
-                                      ip_iters=30)
+        arrays, cfg = setup.to_device(dtype=dtype,
+                                      **solver_kwargs(args))
         roll = jax.jit(make_rollout_fn(arrays, cfg, T, actuator_mode=mode,
                                        plant_step=plant_step))
         carry, outs = roll(jnp.asarray(sc.x0, dtype),

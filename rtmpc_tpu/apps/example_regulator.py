@@ -7,7 +7,7 @@ Example_of_Regulator_MPC.py``: A=[[1,1],[0,1]], B=[[0],[1]], N=10,
 
 import numpy as np
 
-from .common import check, init_jax, make_parser, savefig
+from .common import check_tol, solver_kwargs, check, init_jax, make_parser, savefig
 
 
 def main(argv=None):
@@ -23,8 +23,8 @@ def main(argv=None):
     N, T = 10, 20
     setup = setup_regulator(A, B, np.eye(2), np.eye(1), N,
                             U=box(np.array([1.0])))
-    arrays, cfg = setup.to_device(dtype=jnp.dtype(args.dtype), iters=200,
-                                  polish=True, solver="ip")
+    arrays, cfg = setup.to_device(dtype=jnp.dtype(args.dtype),
+                                  **solver_kwargs(args))
     rollout = jax.jit(make_direct_rollout(arrays, cfg, T))
     x0 = np.array([1.0, 2.0])
     refs = jnp.zeros((T, 2), arrays.A.dtype)
@@ -32,14 +32,15 @@ def main(argv=None):
     (xT, _), (xs, us, _, _, rp, rd) = rollout(x0, refs, w)
     xs, us = np.asarray(xs), np.asarray(us)
 
+    tol = check_tol(args)
     ok = True
     ok &= check("input constraints |u| <= 1",
-                bool(np.all(np.abs(us) <= 1.0 + 1e-4)),
+                bool(np.all(np.abs(us) <= 1.0 + tol)),
                 f"max |u| = {np.abs(us).max():.4f}")
     ok &= check("state regulated to origin",
                 bool(np.linalg.norm(xs[-1]) < 1e-2),
                 f"|x(T)| = {np.linalg.norm(xs[-1]):.2e}")
-    ok &= check("QP residuals small", float(np.max(rp)) < 1e-4,
+    ok &= check("QP residuals small", float(np.max(rp)) < 10 * tol,
                 f"max r_prim = {float(np.max(rp)):.2e}")
 
     if not args.no_figures:

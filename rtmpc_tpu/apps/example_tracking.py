@@ -8,7 +8,7 @@ T=120 steps, no disturbance, no network.
 
 import numpy as np
 
-from .common import check, init_jax, make_parser, savefig
+from .common import solver_kwargs, check, init_jax, make_parser, savefig
 
 
 def main(argv=None):
@@ -25,8 +25,8 @@ def main(argv=None):
     T = 40 if args.quick else 120
     setup = setup_tracking(A, B, np.eye(2), np.eye(1), N,
                            box(np.array([8.0, 8.0])), box(np.array([1.0])))
-    arrays, cfg = setup.to_device(dtype=jnp.dtype(args.dtype), iters=200,
-                                  polish=True, solver="ip")
+    arrays, cfg = setup.to_device(dtype=jnp.dtype(args.dtype),
+                                  **solver_kwargs(args))
     rollout = jax.jit(make_direct_rollout(arrays, cfg, T))
 
     refs = np.zeros((T, 2))

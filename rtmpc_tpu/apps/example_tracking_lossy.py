@@ -8,7 +8,7 @@ tracking MPC of ``example_tracking`` plus Estimator + SmartActuator with
 
 import numpy as np
 
-from .common import check, init_jax, make_parser, savefig
+from .common import solver_kwargs, check, init_jax, make_parser, savefig
 
 
 def main(argv=None):
@@ -26,8 +26,8 @@ def main(argv=None):
     T = 40 if args.quick else 120
     setup = setup_tracking(A, B, np.eye(2), np.eye(1), N,
                            box(np.array([8.0, 8.0])), box(np.array([1.0])))
-    arrays, cfg = setup.to_device(dtype=jnp.dtype(args.dtype), iters=200,
-                                  polish=True, solver="ip")
+    arrays, cfg = setup.to_device(dtype=jnp.dtype(args.dtype),
+                                  **solver_kwargs(args))
     rollout = jax.jit(make_rollout_fn(arrays, cfg, T, actuator_mode="smart"))
 
     refs = np.zeros((T, 2))

@@ -9,7 +9,7 @@ nominal trajectory.
 
 import numpy as np
 
-from .common import check, init_jax, make_parser, savefig
+from .common import check_tol, solver_kwargs, check, init_jax, make_parser, savefig
 
 
 def main(argv=None):
@@ -37,7 +37,7 @@ def main(argv=None):
     # R=0.01 makes this the worst-conditioned template; give the ADMM a
     # larger budget and representative probe parameters for rho tuning
     arrays, cfg = setup.to_device(
-        dtype=jnp.dtype(args.dtype), iters=1500, polish=True, solver="ip",
+        dtype=jnp.dtype(args.dtype), **solver_kwargs(args, admm_iters=1500),
         probe_thetas=np.array([[-5.0, -2.0, 0.0, 0.0], [0.0, 0, 0, 0]]))
     rollout = jax.jit(make_direct_rollout(arrays, cfg, T, ancillary=True))
 
@@ -49,12 +49,13 @@ def main(argv=None):
     xs, us, x_noms = np.asarray(xs), np.asarray(us), np.asarray(x_noms)
     traj = np.vstack([x0[None], xs])
 
-    ok = check("input constraints", bool(np.all(np.abs(us) <= 1 + 1e-4)),
+    tol = check_tol(args)
+    ok = check("input constraints", bool(np.all(np.abs(us) <= 1 + tol)),
                f"max |u| = {np.abs(us).max():.4f}")
     ok &= check("state constraint x2 <= 2",
                 bool(np.all(traj[:, 1] <= 2 + 1e-4)),
                 f"max x2 = {traj[:, 1].max():.4f}")
-    in_tube = all(contains(setup.Z, traj[t] - x_noms[t], tol=1e-6)
+    in_tube = all(contains(setup.Z, traj[t] - x_noms[t], tol=tol)
                   for t in range(T))
     ok &= check("x - x_nom stays in the tube Z", in_tube)
     ok &= check("regulated near origin",

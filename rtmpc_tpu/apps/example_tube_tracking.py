@@ -8,7 +8,7 @@ checks input-constraint satisfaction (ref :99-100).
 
 import numpy as np
 
-from .common import check, init_jax, make_parser, savefig
+from .common import check_tol, solver_kwargs, check, init_jax, make_parser, savefig
 
 
 def main(argv=None):
@@ -30,8 +30,8 @@ def main(argv=None):
                                 box(np.array([0.1, 0.1])))
     # iters sized for the worst case: the -9 -> +9 reference reversal
     # fully invalidates the warm start
-    arrays, cfg = setup.to_device(dtype=jnp.dtype(args.dtype), iters=600,
-                                  polish=True, solver="ip")
+    arrays, cfg = setup.to_device(dtype=jnp.dtype(args.dtype),
+                                  **solver_kwargs(args, admm_iters=600))
     rollout = jax.jit(make_direct_rollout(arrays, cfg, T, ancillary=True))
 
     refs = np.zeros((T, 2))
@@ -49,14 +49,15 @@ def main(argv=None):
     xs, us, x_noms = np.asarray(xs), np.asarray(us), np.asarray(x_noms)
     traj = np.vstack([x0[None], xs])
 
+    tol = check_tol(args)
     ok = check("input constraints (ref :99-100)",
-               bool(np.all(np.abs(us) <= 1 + 1e-4)),
+               bool(np.all(np.abs(us) <= 1 + tol)),
                f"max |u| = {np.abs(us).max():.4f}")
     ok &= check("state constraints", bool(np.all(np.abs(traj) <= 8 + 1e-4)),
                 f"max |x| = {np.abs(traj).max():.4f}")
     viol = max(float(np.max(setup.Z.A @ (traj[t] - x_noms[t]) - setup.Z.b))
                for t in range(T))
-    ok &= check("x - x_nom stays in the tube Z", viol < 1e-4,
+    ok &= check("x - x_nom stays in the tube Z", viol < tol,
                 f"max tube violation {viol:.2e}")
     ok &= check("tracks final feasible reference",
                 abs(traj[-1, 0] - 4.0) < 0.3,

@@ -12,7 +12,7 @@ import time
 
 import numpy as np
 
-from .common import check, init_jax, make_parser, report_solve_stats, savefig
+from .common import solver_kwargs, check, init_jax, make_parser, report_solve_stats, savefig
 from .scenarios import cartpole_scenario
 
 
@@ -50,10 +50,10 @@ def main(argv=None):
           f"(Z rows {tube.Z.nrows}, Xf rows {tube.Xf.nrows})")
 
     dtype = jnp.dtype(args.dtype)
-    arrays_tube, cfg_tube = tube.to_device(dtype=dtype, solver="ip",
-                                           ip_iters=30)
-    arrays_track, cfg_track = track.to_device(dtype=dtype, solver="ip",
-                                              ip_iters=30)
+    arrays_tube, cfg_tube = tube.to_device(dtype=dtype,
+                                           **solver_kwargs(args))
+    arrays_track, cfg_track = track.to_device(dtype=dtype,
+                                              **solver_kwargs(args))
 
     refs = np.zeros((T, 4))
     refs[:, 0] = sc.ref_value

@@ -10,7 +10,7 @@ import time
 
 import numpy as np
 
-from .common import check, init_jax, make_parser, savefig
+from .common import solver_kwargs, check, init_jax, make_parser, savefig
 from .scenarios import cartpole_scenario
 
 
@@ -48,11 +48,11 @@ def main(argv=None):
 
     dtype = jnp.dtype(args.dtype)
     arms = {
-        "RT-MPC": (tube.to_device(dtype=dtype, solver="ip", ip_iters=30),
+        "RT-MPC": (tube.to_device(dtype=dtype, **solver_kwargs(args)),
                    "consistent", None),
-        "Ext-RT-MPC": (ext.to_device(dtype=dtype, solver="ip",
-                                     ip_iters=30), "consistent", None),
-        "R-MPC": (track.to_device(dtype=dtype, solver="ip", ip_iters=30),
+        "Ext-RT-MPC": (ext.to_device(dtype=dtype,
+                                     **solver_kwargs(args)), "consistent", None),
+        "R-MPC": (track.to_device(dtype=dtype, **solver_kwargs(args)),
                   "smart", 2e-2),
     }
 

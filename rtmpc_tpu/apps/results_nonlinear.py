@@ -13,7 +13,7 @@ import time
 
 import numpy as np
 
-from .common import check, init_jax, make_parser, savefig
+from .common import solver_kwargs, check, init_jax, make_parser, savefig
 from .scenarios import cartpole_scenario
 
 
@@ -75,8 +75,8 @@ def main(argv=None):
 
     results = {}
     for name, (setup, mode, tol) in setups.items():
-        arrays, cfg = setup.to_device(dtype=dtype, solver="ip",
-                                      ip_iters=30)
+        arrays, cfg = setup.to_device(dtype=dtype,
+                                      **solver_kwargs(args))
         results[name] = run_mc_sweep(
             arrays, cfg, T=T, n_mc=n_mc, loss_probs=probs, refs=refs,
             x0=sc.x0, w_lo=sc.w_lo, w_hi=sc.w_hi, key=key,

@@ -323,48 +323,60 @@ def admm_solve(spec: ADMMSpec, theta: jax.Array,
                                       + mm(spec.As.T, y))))
 
     if polish:
+        del polish_weight   # kept in the signature for API stability
         dt = x.dtype
         n_p = x.shape[0]
-        if polish_weight is None:
-            # penalty condition number ~ w: keep it a few orders below
-            # 1/eps of the working precision
-            polish_weight = 1e8 if dt == jnp.float64 else 3e4
-        w = jnp.asarray(polish_weight, dt)
-        # active set from the final iterate: bound proximity or dual signal
-        near_u = (u - z) < active_tol
-        near_l = (z - l) < active_tol
+        m_p = spec.As.shape[0]
+        # Active set from the final iterate: bound proximity or dual signal.
+        # The proximity threshold must scale with the accuracy the ADMM
+        # actually reached — a loosely converged f32 iterate sits ~r_prim
+        # away from its active bounds, so a fixed 1e-6 window detects
+        # nothing (and the polish silently never fires).
+        act_tol_z = jnp.maximum(10.0 * jnp.maximum(r_prim, r_dual),
+                                jnp.asarray(active_tol, dt))
+        act_tol_y = 1e-3 * jnp.maximum(jnp.max(jnp.abs(y)), 1.0)
+        near_u = (u - z) < act_tol_z
+        near_l = (z - l) < act_tol_z
         act = jnp.logical_or(jnp.logical_or(near_u, near_l),
-                             jnp.abs(y) > active_tol)
+                             jnp.abs(y) > act_tol_y)
         # pick the bound: proximity first, dual sign as tie-breaker
         b_act = jnp.where(y < 0, l, u)
         b_act = jnp.where(near_l & ~near_u, l, b_act)
         b_act = jnp.where(near_u & ~near_l, u, b_act)
         is_eq = jnp.abs(u - l) < active_tol
-        eye = jnp.eye(n_p, dtype=dt)
-        # NOT the ADMM sigma: that would bias stationarity by sigma*||x||.
-        sig_pol = jnp.asarray(jnp.finfo(dt).eps * 100, dt)
+        # Direct regularized KKT solve on the (masked) active set — OSQP's
+        # polish, made static-shape: inactive rows are replaced by
+        # ``-y_i = 0`` identity rows instead of being dropped.
+        #   [ Ps + sx I   (D As)' ] [x]   [ -q      ]
+        #   [ D As   -(sy D+(1-D))] [y] = [ D b_act ]
+        # A *direct* solve gives the duals without the w-amplified noise of
+        # a penalty formulation (which caps f32 dual accuracy at ~1e-2).
+        eps = jnp.finfo(dt).eps
+        sig_x = jnp.asarray(eps * 100, dt)
+        sig_y = jnp.asarray(eps * 100, dt)   # guards redundant active rows
 
-        def penalty_solve(act_k, b_k):
+        def kkt_solve(act_k, b_k):
             d = act_k.astype(dt)
-            Aw = spec.As * d[:, None]
-            M = spec.Ps + sig_pol * eye + w * mm(Aw.T, Aw)
-            rhs0 = -q + w * mm(Aw.T, d * b_k)
-            # Direct dense solve: LU exists on TPU for f32 and on local CPU
-            # for f64 (the two deployment modes).  kappa(M) ~ w, so two
-            # refinement rounds recover the digits the factorization loses.
-            lu, piv = jax.scipy.linalg.lu_factor(M)
-            xk = jax.scipy.linalg.lu_solve((lu, piv), rhs0)
-            for _ in range(2):
-                xk = xk + jax.scipy.linalg.lu_solve((lu, piv),
-                                                    rhs0 - mm(M, xk))
-            yk = w * d * (mm(spec.As, xk) - b_k)
-            return xk, yk
+            Ad = spec.As * d[:, None]
+            K = jnp.zeros((n_p + m_p, n_p + m_p), dt)
+            K = K.at[:n_p, :n_p].set(
+                spec.Ps + sig_x * jnp.eye(n_p, dtype=dt))
+            K = K.at[:n_p, n_p:].set(Ad.T)
+            K = K.at[n_p:, :n_p].set(Ad)
+            K = K.at[n_p:, n_p:].set(jnp.diag(-(sig_y * d + (1.0 - d))))
+            rhs = jnp.concatenate([-q, d * b_k])
+            lu, piv = jax.scipy.linalg.lu_factor(K)
+            s = jax.scipy.linalg.lu_solve((lu, piv), rhs)
+            for _ in range(2):     # iterative refinement
+                s = s + jax.scipy.linalg.lu_solve((lu, piv),
+                                                  rhs - mm(K, s))
+            return s[:n_p], s[n_p:] * d
 
-        xp, yp = penalty_solve(act, b_act)
+        xp, yp = kkt_solve(act, b_act)
         # Active-set refinement: drop rows whose multiplier has the wrong
         # sign (falsely pinned), add rows the polished point violates, then
         # re-solve.  A few passes settle all but pathological degeneracies.
-        for _ in range(4):
+        for _ in range(3):
             wrong_sign = jnp.where(b_act == u, yp < -active_tol,
                                    yp > active_tol) & ~is_eq
             Axp = mm(spec.As, xp)
@@ -373,14 +385,14 @@ def admm_solve(spec: ADMMSpec, theta: jax.Array,
             act = (act & ~wrong_sign) | viol_u | viol_l | is_eq
             b_act = jnp.where(viol_l, l, b_act)
             b_act = jnp.where(viol_u, u, b_act)
-            xp, yp = penalty_solve(act, b_act)
+            xp, yp = kkt_solve(act, b_act)
         rp_p, rd_p = kkt_res(xp, yp)
         better = jnp.maximum(rp_p, rd_p) < jnp.maximum(r_prim, r_dual)
         x = jnp.where(better, xp, x)
         r_prim = jnp.where(better, rp_p, r_prim)
         r_dual = jnp.where(better, rd_p, r_dual)
         # NOTE: ``state`` keeps the raw ADMM iterate — the polished duals
-        # are penalty-scaled (w * violation) and would poison the next
+        # live on a different active-set manifold and would poison the next
         # solve's warm start; only the returned primal is polished.
 
     return ADMMSolution(z_primal=spec.D * x, state=state,
