@@ -42,6 +42,13 @@ def main():
     from rtmpc_tpu.parallel import make_batched_rollout
     from rtmpc_tpu.parallel.rollout import make_rollout_fn
 
+    from rtmpc_tpu.ops.precision import (get_matmul_precision,
+                                         set_matmul_precision)
+    # 3-pass-bf16 accumulation: validated on the bench configs (feasibility
+    # and residuals match HIGHEST, ~1.5x faster); BENCH_PRECISION=highest
+    # for the conservative full-f32 path
+    set_matmul_precision(os.environ.get("BENCH_PRECISION", "high"))
+
     BATCH = int(os.environ.get("BENCH_BATCH", 4096))
     T = int(os.environ.get("BENCH_T", 120))
     ITERS = int(os.environ.get("BENCH_ITERS", 60))
@@ -140,6 +147,7 @@ def main():
         "admm_iters": ITERS,
         "polish": POLISH,
         "dtype": str(dtype),
+        "matmul_precision": get_matmul_precision(),
         "feasible_frac": feasible_frac,
         "device": str(jax.devices()[0]),
         "n_devices": len(jax.devices()),
