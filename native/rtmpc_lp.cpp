@@ -265,6 +265,16 @@ class DenseSimplex {
 
 extern "C" {
 
+// Build stamp: the Makefile passes -DRTMPC_SRC_HASH="<sha256 of this
+// file>"; the Python loader compares it against the source on disk and
+// rebuilds on mismatch, so a stale or foreign-platform binary can never be
+// used silently (git does not preserve mtimes, so mtime checks are moot
+// after a fresh clone).
+#ifndef RTMPC_SRC_HASH
+#define RTMPC_SRC_HASH "unknown"
+#endif
+const char* rtmpc_src_hash(void) { return RTMPC_SRC_HASH; }
+
 // h_j = max{ c_j^T y : A y <= b };  A: m x n row-major, C: k x n row-major.
 // Returns 0; per-direction status in `status` (see file header).
 int rtmpc_support_batch(const double* A, const double* b, int m, int n,

@@ -34,19 +34,43 @@ __all__ = ["HIGHEST", "mm", "set_matmul_precision", "get_matmul_precision"]
 
 HIGHEST = jax.lax.Precision.HIGHEST
 
-_PRECISION = {"high": jax.lax.Precision.HIGH,
-              "highest": jax.lax.Precision.HIGHEST}[
-    os.environ.get("RTMPC_MATMUL_PRECISION", "highest").lower()]
+_VALID = {"high": jax.lax.Precision.HIGH,
+          "highest": jax.lax.Precision.HIGHEST}
+
+
+def _resolve(name: str) -> jax.lax.Precision:
+    key = str(name).lower()
+    if key not in _VALID:
+        raise ValueError(
+            f"invalid matmul precision {name!r}: valid values are "
+            f"{sorted(_VALID)} ('default'/single-pass bf16 is rejected — "
+            "it diverges on the solve path, see module docstring)")
+    return _VALID[key]
+
+
+_PRECISION = _resolve(os.environ.get("RTMPC_MATMUL_PRECISION", "highest"))
+_mm_traced = False      # set once mm() has been traced under jit
 
 
 def set_matmul_precision(name: str) -> None:
     """Set the solve-path matmul precision: "high" or "highest".
 
     Takes effect at trace time — call before jitting/compiling rollouts.
+    The precision is baked into compiled functions; changing it afterwards
+    only affects NEW traces (jit caches keyed on the same function/shapes
+    keep the old precision), so a warning is emitted in that case.
     """
     global _PRECISION
-    _PRECISION = {"high": jax.lax.Precision.HIGH,
-                  "highest": jax.lax.Precision.HIGHEST}[name.lower()]
+    new = _resolve(name)
+    if _mm_traced and new != _PRECISION:
+        import warnings
+        warnings.warn(
+            "set_matmul_precision() called after solve-path functions were "
+            "already traced: existing jit caches keep the previous "
+            "precision. Call jax.clear_caches() (or re-create the jitted "
+            "functions) for the change to take effect.",
+            RuntimeWarning, stacklevel=2)
+    _PRECISION = new
 
 
 def get_matmul_precision() -> str:
@@ -56,4 +80,7 @@ def get_matmul_precision() -> str:
 def mm(a, b):
     """``a @ b`` with (at least) 3-pass-bf16 accumulation on every
     backend — never the divergence-inducing single-pass default."""
+    global _mm_traced
+    if not _mm_traced and isinstance(a, jax.core.Tracer):
+        _mm_traced = True
     return jnp.matmul(a, b, precision=_PRECISION)

@@ -25,7 +25,8 @@ model:
 Accuracy strategy (SURVEY.md section 7.3 item 1): modified Ruiz
 equilibration + cost scaling at preparation, over-relaxation alpha=1.6,
 per-row rho with stiff equality rows (OSQP heuristic), and an optional
-iterative-refinement polish pass ``admm_refine`` for near-oracle accuracy.
+active-set polish pass (``admm_solve(..., polish=True)``) that recovers
+near-oracle accuracy from a loosely converged iterate.
 Closed-loop contraction then forgives the residual solver error; parity is
 asserted on trajectories, not raw QP iterates.
 """

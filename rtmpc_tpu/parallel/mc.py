@@ -126,11 +126,22 @@ def run_mc_sweep(
     sample_x_nom = np.zeros((P, T, nx))
     wall = 0.0
 
-    fingerprint = np.array([P, M, T, nx, int(np.asarray(key)[0]),
-                            int(np.asarray(key)[-1])], np.int64)
+    # The fingerprint must pin EVERYTHING that determines the result rows:
+    # shapes, the full RNG key, the loss-probability values, the chunking
+    # plan (a resume with different n_chunks would skip / misalign rows),
+    # and the scenario inputs (x0, refs).  A content hash is the robust way.
+    import hashlib
+    hsh = hashlib.sha256()
+    for part in (np.asarray(key, np.uint32), np.asarray([P, M, T, nx],
+                                                        np.int64),
+                 loss_probs, bounds,
+                 np.asarray(x0, np.float64), np.asarray(refs, np.float64)):
+        hsh.update(np.ascontiguousarray(part).tobytes())
+    fingerprint = np.frombuffer(hsh.digest(), dtype=np.uint8)
     if checkpoint_path and os.path.exists(checkpoint_path):
         ck = np.load(checkpoint_path)
-        if np.array_equal(ck["fingerprint"], fingerprint):
+        if ck["fingerprint"].shape == fingerprint.shape and \
+                np.array_equal(ck["fingerprint"], fingerprint):
             start_chunk = int(ck["next_chunk"])
             err, feas = ck["err"], ck["feas"]
             sample_traj, sample_x_nom = ck["sample_traj"], ck["sample_x_nom"]

@@ -37,6 +37,26 @@ def _build() -> bool:
         return False
 
 
+def _src_hash() -> str:
+    import hashlib
+    with open(_SRC, "rb") as f:
+        return hashlib.sha256(f.read()).hexdigest()
+
+
+def _open_if_current(want_hash: str) -> Optional[ctypes.CDLL]:
+    """dlopen the .so only if its embedded source hash matches ``want_hash``
+    (mtime ordering is meaningless after a git clone; the hash is not)."""
+    if not os.path.exists(_SO):
+        return None
+    try:
+        lib = ctypes.CDLL(_SO)
+        lib.rtmpc_src_hash.restype = ctypes.c_char_p
+        got = lib.rtmpc_src_hash().decode()
+    except (OSError, AttributeError):
+        return None
+    return lib if got == want_hash else None
+
+
 def _load() -> Optional[ctypes.CDLL]:
     global _lib, _tried
     with _lock:
@@ -47,14 +67,14 @@ def _load() -> Optional[ctypes.CDLL]:
             return None
         if not os.path.exists(_SRC):
             return None
-        stale = (not os.path.exists(_SO)
-                 or os.path.getmtime(_SO) < os.path.getmtime(_SRC))
-        if stale and not _build():
-            return None
-        try:
-            lib = ctypes.CDLL(_SO)
-        except OSError:
-            return None
+        want = _src_hash()
+        lib = _open_if_current(want)
+        if lib is None:
+            if not _build():
+                return None
+            lib = _open_if_current(want)
+            if lib is None:
+                return None
         lib.rtmpc_support_batch.restype = ctypes.c_int
         lib.rtmpc_support_batch.argtypes = [
             ctypes.POINTER(ctypes.c_double),   # A

@@ -118,13 +118,15 @@ def box(lo, hi=None) -> Polytope:
 # ---------------------------------------------------------------------------
 
 def support_lp_batch(A: np.ndarray, b: np.ndarray,
-                     X: np.ndarray) -> np.ndarray:
+                     X: np.ndarray, on_fail: str = "raise") -> np.ndarray:
     """``h[j] = max{X[j] @ y : A y <= b}`` by dense LP, one per row of X.
 
     Uses the native batched simplex kernel (``native/rtmpc_lp.cpp``, the
     TPU build's replacement for the reference's per-call scipy/HiGHS LPs at
     ``utils_polytope.py:19``) when available, scipy otherwise.  Unbounded
-    directions return ``+inf``; an infeasible (empty) polytope raises.
+    directions return ``+inf``.  A failed LP (infeasible / numerically
+    degenerate) raises by default; ``on_fail="nan"`` returns NaN for that
+    row instead so callers can apply a conservative fallback per row.
     """
     X = np.atleast_2d(np.asarray(X, dtype=np.float64))
     from ._native import native_available, support_batch_native
@@ -135,17 +137,19 @@ def support_lp_batch(A: np.ndarray, b: np.ndarray,
             return h
         # fall through to scipy only for the failed rows (robustness)
         for i in np.where(bad)[0]:
-            h[i] = _support_scipy(A, b, X[i])
+            h[i] = _support_scipy(A, b, X[i], on_fail)
         return h
-    return np.array([_support_scipy(A, b, x) for x in X])
+    return np.array([_support_scipy(A, b, x, on_fail) for x in X])
 
 
-def _support_scipy(A, b, x) -> float:
+def _support_scipy(A, b, x, on_fail: str = "raise") -> float:
     res = sopt.linprog(c=-x, A_ub=A, b_ub=b,
                        bounds=(None, None), method=_LP_METHOD)
     if res.status == 3:        # unbounded
         return np.inf
     if res.status != 0:
+        if on_fail == "nan":
+            return np.nan
         raise RuntimeError(
             f"support LP failed with status {res.status}: {res.message}")
     return float(-res.fun)
@@ -180,7 +184,11 @@ def support_many(poly: Polytope, X: np.ndarray,
     try:
         V = poly.get_vertices()
         return np.max(X @ V.T, axis=1)
-    except Exception:
+    except (ValueError, sspatial.QhullError):
+        # Expected failure modes of vertex enumeration: empty / degenerate
+        # (``extreme`` raises ValueError) or Qhull precision trouble.  The
+        # LP path still answers these exactly (or raises on a genuinely
+        # empty set); anything else propagates.
         return support_lp_batch(poly.A, poly.b, X)
 
 
@@ -407,7 +415,11 @@ def reduce_poly(poly: Polytope, tol: float = 1e-9,
         mask[i] = False
         if not mask.any():
             continue
-        sup = support_lp_batch(A[mask], b[mask] + tol, A[i][None])[0]
+        # A failed LP (degenerate/ill-conditioned polytope) returns NaN;
+        # the NaN comparison below is False, so the row is conservatively
+        # KEPT (redundant rows are harmless; dropped essential rows are not).
+        sup = support_lp_batch(A[mask], b[mask] + tol, A[i][None],
+                               on_fail="nan")[0]
         if np.isfinite(sup) and sup <= b[i] + max(tol, slack_tol):
             keep[i] = False
     return Polytope(A[keep], b[keep])
@@ -427,8 +439,13 @@ def contains(poly: Polytope, x, tol: float = 1e-7) -> bool:
 
 
 def poly_subset(p: Polytope, q: Polytope, tol: float = 1e-7) -> bool:
-    """``P ⊆ Q`` iff for every row (a, c) of Q: ``h_P(a) <= c``."""
-    sup = support_lp_batch(p.A, p.b, q.A)
+    """``P ⊆ Q`` iff for every row (a, c) of Q: ``h_P(a) <= c``.
+
+    A failed per-row LP (NaN) conservatively answers "not contained", so
+    degenerate inputs keep fixed-point iterations (Gilbert–Tan) running
+    rather than crashing or terminating early on a false equality.
+    """
+    sup = support_lp_batch(p.A, p.b, q.A, on_fail="nan")
     return bool(np.all(sup <= q.b + tol))
 
 
