@@ -5,18 +5,30 @@ Measures the BASELINE.json primary metrics on the flagship configuration
 N=10 horizon, X=+-8, U=+-1, W=+-0.1, 70% packet loss both directions,
 T=120 steps, one tracking QP per step per rollout):
 
-* ``rollouts_per_s``   — closed-loop lossy-network rollouts per second
-* ``qp_solves_per_s``  — tracking-QP solves per second (= rollouts/s * T)
-* ``p99_step_ms``      — p99 latency of one controller step (single-instance
-                         QP solve + packet assembly), vs the reference's
-                         20 ms real-time budget (50 Hz control)
+* ``rollouts_per_s``        — closed-loop lossy-network rollouts per second
+* ``qp_solves_per_s``       — tracking-QP solves per second (rollouts/s * T)
+* ``p99_step_ms``           — p99 DISPATCH-INCLUSIVE single-step latency
+                              (one host->device call per control tick, the
+                              reference's own measurement methodology);
+                              compared against the 20 ms real-time budget
+* ``step_device_ms``         — per-step device time of a batch-1 chained
+                              rollout (back-to-back steps on a warm device,
+                              no batch amortization, no dispatch)
+* ``batched_step_amortized_ms`` — whole batched T-step rollout / T (throughput
+                              figure, NOT a deployable latency)
 
 Prints ONE JSON line.  ``vs_baseline`` is rollouts/s against the 10k
 rollouts/s BASELINE.json north-star target (defined for a v5p-16; this
 prints whatever the visible devices deliver).
 
-Env knobs: BENCH_BATCH (default 4096), BENCH_T (120), BENCH_ITERS (60),
-BENCH_REPS (5), BENCH_DTYPE (float32).
+The default configuration (ITERS, polish) is the one validated against the
+float64 protocol oracle by ``tools/tpu_checks.py`` (PARITY_TPU_r*.json) —
+throughput numbers are only quoted for trajectory-accurate settings.
+
+Env knobs: BENCH_BATCH (default 4096), BENCH_T (120), BENCH_ITERS,
+BENCH_POLISH, BENCH_REPS (5), BENCH_DTYPE (float32),
+BENCH_SOLVER (admm|pallas|ip), BENCH_PRECISION (high|highest),
+BENCH_PROFILE (trace dir).
 """
 
 import json
@@ -27,6 +39,18 @@ import time
 import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# Defaults validated by the on-device parity gate (tools/tpu_checks.py):
+# 300 warm-started iterations give 6.4e-4 trajectory parity vs the f64
+# oracle on the flagship scenario (measured on TPU v5e; 400 gives 1.1e-4).
+# Polish is NOT used on TPU: measured there, the f32 LU-based polish never
+# improves the iterate (its KKT residual loses to the ADMM's) and the
+# per-step batched LU is ~1000x slower — iterations are the TPU accuracy
+# lever.  BENCH_ITERS=60 is the documented throughput mode (~72k
+# rollouts/s, trajectory envelope 2e-1 on the saturated-reference
+# scenario, all tube invariants still hold).
+DEFAULT_ITERS = 300
+DEFAULT_POLISH = 0
 
 
 def main():
@@ -41,19 +65,22 @@ def main():
     from rtmpc_tpu.protocol import draw_loss_masks, draw_disturbances
     from rtmpc_tpu.parallel import make_batched_rollout
     from rtmpc_tpu.parallel.rollout import make_rollout_fn
+    from rtmpc_tpu.parallel.latency import (device_step_time,
+                                            measure_step_latencies)
 
     from rtmpc_tpu.ops.precision import (get_matmul_precision,
                                          set_matmul_precision)
-    # 3-pass-bf16 accumulation: validated on the bench configs (feasibility
-    # and residuals match HIGHEST, ~1.5x faster); BENCH_PRECISION=highest
+    # 3-pass-bf16 accumulation: validated on the bench configs (trajectory
+    # parity vs the f64 oracle, tools/tpu_checks.py); BENCH_PRECISION=highest
     # for the conservative full-f32 path
     set_matmul_precision(os.environ.get("BENCH_PRECISION", "high"))
 
     BATCH = int(os.environ.get("BENCH_BATCH", 4096))
     T = int(os.environ.get("BENCH_T", 120))
-    ITERS = int(os.environ.get("BENCH_ITERS", 60))
+    ITERS = int(os.environ.get("BENCH_ITERS", DEFAULT_ITERS))
     REPS = int(os.environ.get("BENCH_REPS", 5))
-    POLISH = bool(int(os.environ.get("BENCH_POLISH", "0")))
+    POLISH = bool(int(os.environ.get("BENCH_POLISH", str(DEFAULT_POLISH))))
+    SOLVER = os.environ.get("BENCH_SOLVER", "admm")
     dtype = jnp.dtype(os.environ.get("BENCH_DTYPE", "float32"))
 
     A = np.array([[1.0, 1.0], [0.0, 1.0]])
@@ -62,7 +89,8 @@ def main():
         A, B, np.eye(2), np.eye(1), 10,
         box(np.array([8.0, 8.0])), box(np.array([1.0])),
         box(np.array([0.1, 0.1])), fixed_initial_state=True)
-    arrays, cfg = setup.to_device(dtype=dtype, iters=ITERS, polish=POLISH)
+    arrays, cfg = setup.to_device(dtype=dtype, iters=ITERS, polish=POLISH,
+                                  solver=SOLVER)
     nx = cfg.nx
 
     key = jax.random.PRNGKey(0)
@@ -83,7 +111,7 @@ def main():
     # parallelism over scenarios — SURVEY.md section 2.4); jit partitions
     # the vmapped computation automatically from the input shardings
     n_dev = len(jax.devices())
-    if n_dev > 1 and BATCH % n_dev == 0:
+    if n_dev > 1 and BATCH % n_dev == 0 and SOLVER != "pallas":
         from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
         mesh = Mesh(np.array(jax.devices()), axis_names=("dp",))
         sh = NamedSharding(mesh, P("dp"))
@@ -108,30 +136,33 @@ def main():
     rollouts_per_s = BATCH / dt_total
     qp_solves_per_s = rollouts_per_s * T
 
-    # single-controller-step latency (one QP instance, the real-time path).
-    # A deployed controller runs steps back-to-back on a warm device, so the
-    # per-step number is a sequential T-step rollout divided by T; the
-    # dispatch-inclusive number (one host->device call per step, dominated
-    # on this rig by the remote-TPU tunnel RPC) is reported separately.
-    single_T = jax.jit(make_rollout_fn(arrays, cfg, T))
-    argsT = (x0[0], refs[0], w[0], theta[0], gamma[0])
-    single_T(*argsT)[1].x.block_until_ready()
-    seq = []
-    for _ in range(20):
-        t1 = time.perf_counter()
-        single_T(*argsT)[1].x.block_until_ready()
-        seq.append((time.perf_counter() - t1) / T)
-    p99_step_ms = float(np.quantile(np.array(seq), 0.99) * 1e3)
+    # --- latency, three honest granularities -----------------------------
+    # compile each scan executable ONCE and share it across measurements
+    # (remote compiles dominate wall time on a tunnel rig)
+    refs1 = np.asarray(refs_np)
+    w1 = np.asarray(w[0])
+    th1, gm1 = np.asarray(theta[0]), np.asarray(gamma[0])
+    step1 = jax.jit(make_rollout_fn(arrays, cfg, 1))
+    chainT = jax.jit(make_rollout_fn(arrays, cfg, T))
 
-    single = jax.jit(make_rollout_fn(arrays, cfg, 1))
-    args1 = (x0[0], refs[0, :1], w[0, :1], theta[0, :1], gamma[0, :1])
-    single(*args1)[1].x.block_until_ready()
-    lats = []
-    for _ in range(100):
-        t1 = time.perf_counter()
-        single(*args1)[1].x.block_until_ready()
-        lats.append(time.perf_counter() - t1)
-    p99_dispatch_ms = float(np.quantile(np.array(lats), 0.99) * 1e3)
+    # (a) dispatch-inclusive per-step wall clock, the deployment number on
+    # this rig (dominated here by the remote-TPU tunnel RPC round trip)
+    lats = measure_step_latencies(arrays, cfg, refs1, w1, th1, gm1,
+                                  step_fn=step1)
+    p99_step_ms = float(np.quantile(lats, 0.99) * 1e3)
+    p50_step_ms = float(np.median(lats) * 1e3)
+
+    # (b) device-only per-step time (batch-1 chained rollout, back-to-back
+    # steps on a warm device — excludes only the per-dispatch RPC)
+    dev_step_s, dispatch_s = device_step_time(
+        arrays, cfg, refs1, w1, th1, gm1, chain_fn=chainT, step_fn=step1)
+    p99_step_device_ms = dev_step_s * 1e3   # median of reps; steps within
+                                            # one scan are homogeneous
+
+    # (c) amortized throughput figure (NOT a latency): wall time of one
+    # batched step (all BATCH instances advance together) — the number a
+    # Monte-Carlo sweep experiences per step
+    step_amortized_ms = dt_total * 1e3 / T
 
     result = {
         "metric": f"closed-loop lossy-network tube-MPC rollouts/s (N=10, T={T})",
@@ -140,10 +171,14 @@ def main():
         "vs_baseline": round(rollouts_per_s / 10000.0, 4),
         "qp_solves_per_s": round(qp_solves_per_s, 0),
         "p99_step_ms": round(p99_step_ms, 3),
-        "p99_dispatch_ms": round(p99_dispatch_ms, 3),
+        "p50_step_ms": round(p50_step_ms, 3),
+        "step_device_ms": round(p99_step_device_ms, 3),
+        "dispatch_overhead_ms": round(dispatch_s * 1e3, 3),
+        "batched_step_amortized_ms": round(step_amortized_ms, 3),
         "realtime_budget_ms": 20.0,
         "batch": BATCH,
         "T": T,
+        "solver": SOLVER,
         "admm_iters": ITERS,
         "polish": POLISH,
         "dtype": str(dtype),

@@ -57,11 +57,21 @@ def init_jax(args):
     return jax
 
 
-def solver_kwargs(args, ip_iters: int = 30, admm_iters: int = 300):
-    """``to_device`` solver arguments for the parsed app flags."""
+def solver_kwargs(args, ip_iters: int = 30, admm_iters: int = 400):
+    """``to_device`` solver arguments for the parsed app flags.
+
+    The ADMM path (TPU) runs 400 warm-started iterations and NO polish:
+    measured on TPU v5e (round 2), the f32 LU-based polish never improves
+    the iterate and costs ~1000x in the batched rollout; 400 iterations
+    give 1.1e-4 trajectory parity vs the f64 oracle (PARITY_TPU_r02).
+    Polish stays on for the f64 CPU path, where it reaches 1e-8-class KKT
+    residuals.
+    """
     if args.solver == "ip":
         return dict(solver="ip", ip_iters=ip_iters, polish=True)
-    return dict(solver="admm", iters=admm_iters, polish=True)
+    if args.dtype == "float64":
+        return dict(solver="admm", iters=admm_iters, polish=True)
+    return dict(solver="admm", iters=admm_iters, polish=False)
 
 
 def check_tol(args) -> float:
@@ -91,14 +101,6 @@ def check(name: str, ok: bool, detail: str = "") -> bool:
     return bool(ok)
 
 
-def report_solve_stats(times_ms: np.ndarray, label: str = ""):
-    """Reference's solve-time quantile report
-    (``results_linear_system.py:304-320``)."""
-    print(f"Solve-time stats{(' (' + label + ')') if label else ''} "
-          f"over {times_ms.size} solves [ms]: "
-          f"max={np.max(times_ms):.3f} "
-          f"p95={np.quantile(times_ms, 0.95):.3f} "
-          f"p90={np.quantile(times_ms, 0.9):.3f} "
-          f"p75={np.quantile(times_ms, 0.75):.3f} "
-          f"median={np.median(times_ms):.3f} "
-          f"mean={np.mean(times_ms):.3f}")
+# solve-time reporting lives in rtmpc_tpu.parallel.latency: real per-step
+# measurements (measure_step_latencies) + the reference's quantile/histogram
+# report (latency_report) — no synthesized statistics.

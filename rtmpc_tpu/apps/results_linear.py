@@ -12,7 +12,7 @@ import time
 
 import numpy as np
 
-from .common import solver_kwargs, check, init_jax, make_parser, report_solve_stats, savefig
+from .common import solver_kwargs, check, init_jax, make_parser, savefig
 from .scenarios import cartpole_scenario
 
 
@@ -82,8 +82,23 @@ def main(argv=None):
         / n_solves
     print(f"wall time: tube {res_tube.wall_time_s:.2f}s + track "
           f"{res_track.wall_time_s:.2f}s for {n_solves} QP solves "
-          f"({per_solve_ms:.4f} ms/solve amortized)")
-    report_solve_stats(np.full(8, per_solve_ms), "amortized batched")
+          f"({per_solve_ms:.4f} ms/solve amortized in the batched engine)")
+
+    # Real per-step solve-time distribution (reference methodology:
+    # wall-clock around each individual solve+packet step,
+    # ``results_linear_system.py:304-320``) — one representative rollout
+    # at p=0.4, one dispatch per control tick, dispatch-inclusive.
+    from ..parallel.latency import measure_step_latencies, latency_report
+    rng = np.random.default_rng(args.seed + 1)
+    p_lat = 0.4
+    th_l = (rng.uniform(size=T) >= p_lat).astype(np.int64)
+    gm_l = (rng.uniform(size=T) >= p_lat).astype(np.int64)
+    th_l[0] = gm_l[0] = 1
+    w_l = rng.uniform(sc.w_lo, sc.w_hi, size=(T, 4))
+    lat = measure_step_latencies(arrays_tube, cfg_tube, refs, w_l,
+                                 th_l, gm_l, x0=sc.x0)
+    stats = latency_report(lat, "per-step, dispatch-inclusive, RT-MPC")
+    del stats
 
     print("\nTracking-error summary (mean RMS per loss probability):")
     print("  p     RT-MPC (tube)   R-MPC (track)   track infeasible")

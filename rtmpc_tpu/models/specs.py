@@ -101,13 +101,22 @@ class MPCSetup:
                   iters: int = 100, rho="auto", polish: bool = False,
                   solver: str = "admm", ip_iters: int = 25,
                   probe_thetas: Optional[np.ndarray] = None,
+                  pallas_block: int = 1024,
+                  pallas_interpret: bool = False,
                   **admm_kw):
         """Freeze into (ControllerArrays, ControllerConfig) for the engine.
 
         ``solver``: "admm" (throughput mode — shared factorization,
-        warm-started, Pallas-friendly) or "ip" (accuracy mode — batched
-        Mehrotra interior point, Clarabel-class residuals on every
-        instance, one dense factorization per instance per iteration).
+        warm-started, vmapped XLA iteration), "pallas" (same ADMM run as a
+        fused VMEM-resident kernel over the whole batch — the batched
+        rollout path only; per-element code paths fall back to "admm"
+        semantics), or "ip" (accuracy mode — batched Mehrotra interior
+        point, Clarabel-class residuals on every instance, one dense
+        factorization per instance per iteration).
+
+        ``pallas_block``: batch tile per kernel invocation (solver
+        "pallas").  ``pallas_interpret``: run the kernel in interpreter
+        mode (CPU testing only).
         """
         tmpl = self.template
         # tune rho at (roughly) the iteration budget the engine will use
@@ -163,6 +172,8 @@ class MPCSetup:
             u_off=nx * (N + 1),
             xbar_off=(nx * (N + 1) + nu * N) if tmpl.tracking else -1,
             ubar_off=(nx * (N + 1) + nu * N + nx) if tmpl.tracking else -1,
+            pallas_block=pallas_block,
+            pallas_interpret=pallas_interpret,
         )
         return arrays, cfg
 
@@ -197,6 +208,8 @@ class ControllerConfig:
     u_off: int
     xbar_off: int
     ubar_off: int
+    pallas_block: int = 1024
+    pallas_interpret: bool = False
 
 
 # ---------------------------------------------------------------------------

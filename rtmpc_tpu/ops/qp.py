@@ -67,6 +67,16 @@ class ADMMSpec(NamedTuple):
     cinv: jax.Array      # scalar: 1/cost-scale (dual unscaling)
     sigma: jax.Array     # scalar
     alpha: jax.Array     # scalar over-relaxation
+    # Composite iteration matrices for the fused (Pallas) path, formed in
+    # float64 at preparation.  With s = rho*z - y the ADMM linear step is
+    #   xt = Kinv (sigma x - q + As' s),   zt = As xt
+    # so per iteration  [xt | zt] = x Gxc + s Gsc - q Kcat : two wide
+    # INDEPENDENT matmuls (vs a 3-deep dependent chain), with the q-terms
+    # hoisted out of the loop entirely.  The xt/zt output slots start at
+    # 128-lane boundaries (``_LANE``) so in-kernel slices are aligned.
+    Gxc: jax.Array       # (n_p, nblk+mblk)  [x-slot: (sigma Kinv)' | (As sigma Kinv)']
+    Gsc: jax.Array       # (m_p, nblk+mblk)  [(Kinv As')' | (As Kinv As')']
+    Kcat: jax.Array      # (n_p, nblk+mblk)  [Kinv' | Kinv' As']
 
 
 class ADMMState(NamedTuple):
@@ -243,6 +253,24 @@ def prepare_admm(
     As_p = padm(As, m_p, n_p)
     rho_p = padv(rho_vec, m_p, fill=rho)
 
+    # fused-path composites, float64 on the padded operands; xt/zt output
+    # slots are placed at 128-lane boundaries for the TPU kernel
+    _LANE = 128
+    nblk = ((n_p + _LANE - 1) // _LANE) * _LANE
+    mblk = ((m_p + _LANE - 1) // _LANE) * _LANE
+    M1 = sigma * Kinv_p                    # (n_p, n_p)
+    M2 = Kinv_p @ As_p.T                   # (n_p, m_p)
+
+    def cat_slots(Mx, Mz):
+        out = np.zeros((Mx.shape[0], nblk + mblk))
+        out[:, :n_p] = Mx
+        out[:, nblk:nblk + m_p] = Mz
+        return out
+
+    Gxc = cat_slots(M1.T, (As_p @ M1).T)
+    Gsc = cat_slots(M2.T, (As_p @ M2).T)
+    Kcat = cat_slots(Kinv_p.T, Kinv_p.T @ As_p.T)
+
     spec = ADMMSpec(
         Kinv=jnp.asarray(Kinv_p, dtype),
         Ps=jnp.asarray(Ps_p, dtype),
@@ -260,6 +288,9 @@ def prepare_admm(
         cinv=jnp.asarray(1.0 / c, dtype),
         sigma=jnp.asarray(sigma, dtype),
         alpha=jnp.asarray(alpha, dtype),
+        Gxc=jnp.asarray(Gxc, dtype),
+        Gsc=jnp.asarray(Gsc, dtype),
+        Kcat=jnp.asarray(Kcat, dtype),
     )
     return spec
 
@@ -313,88 +344,185 @@ def admm_solve(spec: ADMMSpec, theta: jax.Array,
 
     x, y, z = state
 
-    def kkt_res(xv, yv):
-        Axv = mm(spec.As, xv)
-        rp = jnp.max(jnp.abs(jnp.clip(Axv, l, u) - Axv))
-        rd = jnp.max(jnp.abs(mm(spec.Ps, xv) + q + mm(spec.As.T, yv)))
-        return rp, rd
-
     r_prim, r_dual = (jnp.max(jnp.abs(mm(spec.As, x) - z)),
                       jnp.max(jnp.abs(mm(spec.Ps, x) + q
                                       + mm(spec.As.T, y))))
 
     if polish:
         del polish_weight   # kept in the signature for API stability
-        dt = x.dtype
-        n_p = x.shape[0]
-        m_p = spec.As.shape[0]
-        # Active set from the final iterate: bound proximity or dual signal.
-        # The proximity threshold must scale with the accuracy the ADMM
-        # actually reached — a loosely converged f32 iterate sits ~r_prim
-        # away from its active bounds, so a fixed 1e-6 window detects
-        # nothing (and the polish silently never fires).
-        act_tol_z = jnp.maximum(10.0 * jnp.maximum(r_prim, r_dual),
-                                jnp.asarray(active_tol, dt))
-        act_tol_y = 1e-3 * jnp.maximum(jnp.max(jnp.abs(y)), 1.0)
-        near_u = (u - z) < act_tol_z
-        near_l = (z - l) < act_tol_z
-        act = jnp.logical_or(jnp.logical_or(near_u, near_l),
-                             jnp.abs(y) > act_tol_y)
-        # pick the bound: proximity first, dual sign as tie-breaker
-        b_act = jnp.where(y < 0, l, u)
-        b_act = jnp.where(near_l & ~near_u, l, b_act)
-        b_act = jnp.where(near_u & ~near_l, u, b_act)
-        is_eq = jnp.abs(u - l) < active_tol
-        # Direct regularized KKT solve on the (masked) active set — OSQP's
-        # polish, made static-shape: inactive rows are replaced by
-        # ``-y_i = 0`` identity rows instead of being dropped.
-        #   [ Ps + sx I   (D As)' ] [x]   [ -q      ]
-        #   [ D As   -(sy D+(1-D))] [y] = [ D b_act ]
-        # A *direct* solve gives the duals without the w-amplified noise of
-        # a penalty formulation (which caps f32 dual accuracy at ~1e-2).
-        eps = jnp.finfo(dt).eps
-        sig_x = jnp.asarray(eps * 100, dt)
-        sig_y = jnp.asarray(eps * 100, dt)   # guards redundant active rows
-
-        def kkt_solve(act_k, b_k):
-            d = act_k.astype(dt)
-            Ad = spec.As * d[:, None]
-            K = jnp.zeros((n_p + m_p, n_p + m_p), dt)
-            K = K.at[:n_p, :n_p].set(
-                spec.Ps + sig_x * jnp.eye(n_p, dtype=dt))
-            K = K.at[:n_p, n_p:].set(Ad.T)
-            K = K.at[n_p:, :n_p].set(Ad)
-            K = K.at[n_p:, n_p:].set(jnp.diag(-(sig_y * d + (1.0 - d))))
-            rhs = jnp.concatenate([-q, d * b_k])
-            lu, piv = jax.scipy.linalg.lu_factor(K)
-            s = jax.scipy.linalg.lu_solve((lu, piv), rhs)
-            for _ in range(2):     # iterative refinement
-                s = s + jax.scipy.linalg.lu_solve((lu, piv),
-                                                  rhs - mm(K, s))
-            return s[:n_p], s[n_p:] * d
-
-        xp, yp = kkt_solve(act, b_act)
-        # Active-set refinement: drop rows whose multiplier has the wrong
-        # sign (falsely pinned), add rows the polished point violates, then
-        # re-solve.  A few passes settle all but pathological degeneracies.
-        for _ in range(3):
-            wrong_sign = jnp.where(b_act == u, yp < -active_tol,
-                                   yp > active_tol) & ~is_eq
-            Axp = mm(spec.As, xp)
-            viol_u = Axp > u + active_tol
-            viol_l = Axp < l - active_tol
-            act = (act & ~wrong_sign) | viol_u | viol_l | is_eq
-            b_act = jnp.where(viol_l, l, b_act)
-            b_act = jnp.where(viol_u, u, b_act)
-            xp, yp = kkt_solve(act, b_act)
-        rp_p, rd_p = kkt_res(xp, yp)
-        better = jnp.maximum(rp_p, rd_p) < jnp.maximum(r_prim, r_dual)
-        x = jnp.where(better, xp, x)
-        r_prim = jnp.where(better, rp_p, r_prim)
-        r_dual = jnp.where(better, rd_p, r_dual)
+        x, r_prim, r_dual = polish_solution(
+            spec, q, l, u, x, y, z, r_prim, r_dual, active_tol=active_tol)
         # NOTE: ``state`` keeps the raw ADMM iterate — the polished duals
         # live on a different active-set manifold and would poison the next
         # solve's warm start; only the returned primal is polished.
 
     return ADMMSolution(z_primal=spec.D * x, state=state,
                         r_prim=r_prim, r_dual=r_dual)
+
+
+def infeasibility_certificates(spec: ADMMSpec, theta, state: ADMMState,
+                               eps_pinf: float = 1e-4,
+                               eps_dinf: float = 1e-4,
+                               big: float = 1e19):
+    """OSQP primal/dual infeasibility certificates from the ADMM deltas.
+
+    Replaces the hand-tuned residual threshold the engine used in round 1
+    with the principled test SURVEY.md section 7.3.3 prescribes
+    (Banjac/Goulart/Stellato/Boyd 2019, as implemented by OSQP): on an
+    infeasible problem the ADMM iterates diverge along a certificate ray —
+    the one-iteration deltas (dx, dy) converge to it.  Running ONE extra
+    iteration from the final state gives the deltas without carrying the
+    previous iterate through the solve loop.
+
+    Primal infeasibility (dy certificate of an empty feasible set):
+        ||A' dy||_inf <= eps * ||dy||_inf   and
+        u' max(dy, 0) + l' min(dy, 0) <= -eps * ||dy||_inf
+    Dual infeasibility (dx certificate of an unbounded objective):
+        ||P dx||_inf <= eps ||dx||_inf,   q' dx <= -eps ||dx||_inf, and
+        A dx within the recession cone of [l, u] (rows with finite bounds
+        require |(A dx)_i| <= eps ||dx||_inf).
+
+    Tests run in the SCALED space (certificates are scale-invariant up to
+    the tolerance; this matches OSQP's own implementation).  Returns
+    ``(prim_infeas, dual_infeas)`` booleans; vmap over (theta, state) for
+    batches.  Mirrors the reference arm-stopping semantics driven by
+    Clarabel's status at ``results_linear_system.py:262-271``.
+    """
+    theta = theta.astype(spec.q0.dtype)
+    q = spec.q0 + mm(spec.Mq, theta)
+    l = spec.l0 + mm(spec.Ml, theta)
+    u = spec.u0 + mm(spec.Mu, theta)
+    sigma, alpha = spec.sigma, spec.alpha
+
+    x, y, z = state
+    rhs = sigma * x - q + mm(spec.As.T, spec.rho * z - y)
+    xt = mm(spec.Kinv, rhs)
+    zt = mm(spec.As, xt)
+    x_new = alpha * xt + (1.0 - alpha) * x
+    z_mix = alpha * zt + (1.0 - alpha) * z
+    z_new = jnp.clip(z_mix + y * spec.rho_inv, l, u)
+    y_new = y + spec.rho * (z_mix - z_new)
+
+    dx = x_new - x
+    dy = y_new - y
+    dy_norm = jnp.max(jnp.abs(dy))
+    dx_norm = jnp.max(jnp.abs(dx))
+    tiny = jnp.asarray(1e-30, x.dtype)
+
+    # primal-infeasibility test on dy
+    Atdy = jnp.max(jnp.abs(mm(spec.As.T, dy)))
+    # inf bounds contribute 0 when the matching dual sign is excluded;
+    # mask them rather than multiplying inf * 0
+    up = jnp.where(jnp.isfinite(u) & (jnp.abs(u) < big), u, 0.0)
+    lo = jnp.where(jnp.isfinite(l) & (jnp.abs(l) < big), l, 0.0)
+    sup = jnp.sum(up * jnp.maximum(dy, 0.0) + lo * jnp.minimum(dy, 0.0))
+    ok_ray = jnp.max(jnp.abs(jnp.where(
+        (~jnp.isfinite(u)) | (jnp.abs(u) >= big), jnp.maximum(dy, 0.0),
+        0.0))) <= eps_pinf * jnp.maximum(dy_norm, tiny)
+    ok_ray &= jnp.max(jnp.abs(jnp.where(
+        (~jnp.isfinite(l)) | (jnp.abs(l) >= big), jnp.minimum(dy, 0.0),
+        0.0))) <= eps_pinf * jnp.maximum(dy_norm, tiny)
+    prim_infeas = (dy_norm > tiny) \
+        & (Atdy <= eps_pinf * dy_norm) \
+        & (sup <= -eps_pinf * dy_norm) \
+        & ok_ray
+
+    # dual-infeasibility test on dx
+    Pdx = jnp.max(jnp.abs(mm(spec.Ps, dx)))
+    qdx = jnp.dot(q, dx)
+    Adx = mm(spec.As, dx)
+    fin = jnp.isfinite(u) & (jnp.abs(u) < big) \
+        & jnp.isfinite(l) & (jnp.abs(l) < big)
+    cone_ok = jnp.max(jnp.abs(jnp.where(fin, Adx, 0.0))) \
+        <= eps_dinf * jnp.maximum(dx_norm, tiny)
+    dual_infeas = (dx_norm > tiny) \
+        & (Pdx <= eps_dinf * dx_norm) \
+        & (qdx <= -eps_dinf * dx_norm) \
+        & cone_ok
+
+    return prim_infeas, dual_infeas
+
+
+def polish_solution(spec: ADMMSpec, q, l, u, x, y, z, r_prim, r_dual,
+                    active_tol: float = 1e-6):
+    """OSQP-style active-set polish of one (scaled) ADMM iterate.
+
+    Returns ``(x, r_prim, r_dual)`` — the polished primal (kept only if its
+    KKT residual beats the input's) and its residuals.  Shared by the
+    vmapped-XLA path (``admm_solve(..., polish=True)``) and the fused
+    Pallas path (which polishes per element after the kernel).
+    """
+    dt = x.dtype
+    n_p = x.shape[0]
+    m_p = spec.As.shape[0]
+
+    def kkt_res(xv, yv):
+        Axv = mm(spec.As, xv)
+        rp = jnp.max(jnp.abs(jnp.clip(Axv, l, u) - Axv))
+        rd = jnp.max(jnp.abs(mm(spec.Ps, xv) + q + mm(spec.As.T, yv)))
+        return rp, rd
+    # Active set from the final iterate: bound proximity or dual signal.
+    # The proximity threshold must scale with the accuracy the ADMM
+    # actually reached — a loosely converged f32 iterate sits ~r_prim
+    # away from its active bounds, so a fixed 1e-6 window detects
+    # nothing (and the polish silently never fires).
+    act_tol_z = jnp.maximum(10.0 * jnp.maximum(r_prim, r_dual),
+                            jnp.asarray(active_tol, dt))
+    act_tol_y = 1e-3 * jnp.maximum(jnp.max(jnp.abs(y)), 1.0)
+    near_u = (u - z) < act_tol_z
+    near_l = (z - l) < act_tol_z
+    act = jnp.logical_or(jnp.logical_or(near_u, near_l),
+                         jnp.abs(y) > act_tol_y)
+    # pick the bound: proximity first, dual sign as tie-breaker
+    b_act = jnp.where(y < 0, l, u)
+    b_act = jnp.where(near_l & ~near_u, l, b_act)
+    b_act = jnp.where(near_u & ~near_l, u, b_act)
+    is_eq = jnp.abs(u - l) < active_tol
+    # Direct regularized KKT solve on the (masked) active set — OSQP's
+    # polish, made static-shape: inactive rows are replaced by
+    # ``-y_i = 0`` identity rows instead of being dropped.
+    #   [ Ps + sx I   (D As)' ] [x]   [ -q      ]
+    #   [ D As   -(sy D+(1-D))] [y] = [ D b_act ]
+    # A *direct* solve gives the duals without the w-amplified noise of
+    # a penalty formulation (which caps f32 dual accuracy at ~1e-2).
+    eps = jnp.finfo(dt).eps
+    sig_x = jnp.asarray(eps * 100, dt)
+    sig_y = jnp.asarray(eps * 100, dt)   # guards redundant active rows
+
+    def kkt_solve(act_k, b_k):
+        d = act_k.astype(dt)
+        Ad = spec.As * d[:, None]
+        K = jnp.zeros((n_p + m_p, n_p + m_p), dt)
+        K = K.at[:n_p, :n_p].set(
+            spec.Ps + sig_x * jnp.eye(n_p, dtype=dt))
+        K = K.at[:n_p, n_p:].set(Ad.T)
+        K = K.at[n_p:, :n_p].set(Ad)
+        K = K.at[n_p:, n_p:].set(jnp.diag(-(sig_y * d + (1.0 - d))))
+        rhs = jnp.concatenate([-q, d * b_k])
+        lu, piv = jax.scipy.linalg.lu_factor(K)
+        s = jax.scipy.linalg.lu_solve((lu, piv), rhs)
+        for _ in range(2):     # iterative refinement
+            s = s + jax.scipy.linalg.lu_solve((lu, piv),
+                                              rhs - mm(K, s))
+        return s[:n_p], s[n_p:] * d
+
+    xp, yp = kkt_solve(act, b_act)
+    # Active-set refinement: drop rows whose multiplier has the wrong
+    # sign (falsely pinned), add rows the polished point violates, then
+    # re-solve.  A few passes settle all but pathological degeneracies.
+    for _ in range(3):
+        wrong_sign = jnp.where(b_act == u, yp < -active_tol,
+                               yp > active_tol) & ~is_eq
+        Axp = mm(spec.As, xp)
+        viol_u = Axp > u + active_tol
+        viol_l = Axp < l - active_tol
+        act = (act & ~wrong_sign) | viol_u | viol_l | is_eq
+        b_act = jnp.where(viol_l, l, b_act)
+        b_act = jnp.where(viol_u, u, b_act)
+        xp, yp = kkt_solve(act, b_act)
+    rp_p, rd_p = kkt_res(xp, yp)
+    better = jnp.maximum(rp_p, rd_p) < jnp.maximum(r_prim, r_dual)
+    x = jnp.where(better, xp, x)
+    r_prim = jnp.where(better, rp_p, r_prim)
+    r_dual = jnp.where(better, rd_p, r_dual)
+    return x, r_prim, r_dual

@@ -22,9 +22,11 @@ scenario batches (disturbance draws x loss realizations x references x
 loss probabilities) — the >=10k rollouts/s axis of BASELINE.json.
 
 Feasibility semantics under batching (SURVEY.md 7.3 item 3): the reference
-*stops* an arm when its QP goes infeasible (``track_feasible``,
+*stops* an arm when Clarabel reports the QP infeasible (``track_feasible``,
 ``results_linear_system.py:262-271``); here each batch element carries a
-``feasible`` flag — once the ADMM residuals diverge the element's state
+``feasible`` flag driven by OSQP-style primal/dual infeasibility
+CERTIFICATES on the ADMM deltas (``ops/qp.py:infeasibility_certificates``,
+``infeas_mode="certificate"``) — once certified, the element's state
 freezes and its tracking error reports NaN, without branching.
 """
 
@@ -38,7 +40,8 @@ import jax
 import jax.numpy as jnp
 
 from ..models.specs import ControllerArrays, ControllerConfig
-from ..ops.qp import ADMMState, admm_solve, init_admm_state
+from ..ops.qp import (ADMMState, admm_solve, infeasibility_certificates,
+                      init_admm_state)
 from ..ops.ip import ip_solve
 from ..protocol.actuator import ActuatorState, actuator_step, init_actuator
 from ..ops.precision import mm
@@ -115,75 +118,52 @@ def _solve(arrays, cfg, theta_qp, warm_state, pr=False):
         from ..ops.qp import ADMMSolution
         return ADMMSolution(z_primal=sol.z_primal, state=warm_state,
                             r_prim=sol.r_prim, r_dual=sol.r_dual)
+    # "admm" and (per-element fallback) "pallas" — identical iteration
     spec = arrays.admm_pr if pr else arrays.admm
     return admm_solve(spec, theta_qp, warm_state,
                       iters=cfg.iters, polish=cfg.polish)
 
 
-def make_rollout_fn(
-    arrays: ControllerArrays,
-    cfg: ControllerConfig,
-    T: int,
-    actuator_mode: str = "consistent",     # "smart" | "consistent"
-    robust_estimator: Optional[bool] = None,
-    plant_step: Optional[Callable] = None,  # (x, u, w) -> x_next
-    infeas_tol: Optional[float] = None,
-    infeas_persist: int = 3,
-) -> Callable:
-    """Build ``rollout(x0, refs, w, theta, gamma) -> (carry, StepOutputs)``.
+def _select_extended(cfg, carry, sol, sol_pr):
+    """Pick between the normal and packet-received solutions on the
+    PREVIOUS step's gamma (driver ordering at
+    ``results_linear_system_with_extendedMPC.py:260-378``: gamma is re-drawn
+    only after the controller computed its packet)."""
+    if not cfg.extended:
+        return (sol.z_primal, sol.r_prim, sol.r_dual, sol.state,
+                carry.admm_pr)
+    use_pr = carry.prev_gamma == 1
+    z = jnp.where(use_pr, sol_pr.z_primal, sol.z_primal)
+    r_prim = jnp.where(use_pr, sol_pr.r_prim, sol.r_prim)
+    r_dual = jnp.where(use_pr, sol_pr.r_dual, sol.r_dual)
+    return z, r_prim, r_dual, sol.state, sol_pr.state
 
-    ``refs``: (T, nx); ``w``: (T, nx); ``theta``/``gamma``: (T,) int32.
-    ``plant_step`` defaults to the linear model ``x+ = A x + B u + w``.
-    """
-    if robust_estimator is None:
-        robust_estimator = cfg.extended
-    if plant_step is None:
-        def plant_step(x, u, w):
-            return mm(arrays.A, x) + mm(arrays.B, u) + w
 
-    def step(carry: RolloutCarry, inp):
+def _make_post_solve(arrays, cfg, actuator_mode, robust_estimator,
+                     plant_step, infeas_persist):
+    """Everything in the per-step protocol AFTER the QP solve, as one pure
+    per-element function (vmapped by both engine paths).  ``cert_bad`` is
+    the per-step infeasibility-certificate verdict from the solve stage
+    (always False when ``infeas_mode=None``)."""
+
+    def post_solve(carry: RolloutCarry, inp, z, r_prim, r_dual,
+                   admm_new, admm_pr_new, cert_bad):
         ref_t, w_t, theta_t, gamma_t = inp
         x_hat = carry.est.x_hat
         q_t = carry.est.q
-
-        theta_qp = jnp.concatenate([x_hat, ref_t])
-
-        # --- controller QP solve -----------------------------------------
-        sol = _solve(arrays, cfg, theta_qp, carry.admm, pr=False)
-        if cfg.extended:
-            # solve the packet-received problem too and select on the
-            # PREVIOUS step's gamma (driver ordering at
-            # results_linear_system_with_extendedMPC.py:260-378: gamma is
-            # re-drawn only after the controller computed its packet)
-            sol_pr = _solve(arrays, cfg, theta_qp, carry.admm_pr, pr=True)
-            use_pr = carry.prev_gamma == 1
-            pick = lambda a, b: jax.tree_util.tree_map(
-                lambda p, n: jnp.where(use_pr, p, n), a, b)
-            z = jnp.where(use_pr, sol_pr.z_primal, sol.z_primal)
-            r_prim = jnp.where(use_pr, sol_pr.r_prim, sol.r_prim)
-            r_dual = jnp.where(use_pr, sol_pr.r_dual, sol.r_dual)
-            admm_new, admm_pr_new = sol.state, sol_pr.state
-        else:
-            z = sol.z_primal
-            r_prim, r_dual = sol.r_prim, sol.r_dual
-            admm_new, admm_pr_new = sol.state, carry.admm_pr
-
         U_t, x_nom0, xbar = _extract_packet(arrays, cfg, z)
 
         # --- feasibility detection ---------------------------------------
         # Reference semantics: only the non-robust tracking arm carries a
         # feasibility guard (``track_feasible``,
         # ``results_linear_system.py:262-271``); the robust tube arm cannot
-        # go infeasible by design, so ``infeas_tol=None`` (default) only
-        # freezes on non-finite iterates.  A truly infeasible QP keeps a
-        # large primal residual every step, while boundary-riding tube
-        # instances only show transient solver-error spikes — hence the
-        # ``infeas_persist``-consecutive-steps requirement.
-        if infeas_tol is None:
-            bad_now = ~jnp.isfinite(jnp.sum(z))
-        else:
-            bad_now = jnp.logical_or(r_prim >= infeas_tol,
-                                     ~jnp.isfinite(jnp.sum(z)))
+        # go infeasible by design, so ``infeas_mode=None`` (default) only
+        # freezes on non-finite iterates.  With ``infeas_mode=
+        # "certificate"``, OSQP-style primal/dual infeasibility
+        # certificates on the ADMM deltas drive the flag; the
+        # ``infeas_persist``-consecutive-steps requirement guards against a
+        # borderline certificate flapping for a single step.
+        bad_now = jnp.logical_or(cert_bad, ~jnp.isfinite(jnp.sum(z)))
         infeas_count = jnp.where(bad_now, carry.infeas_count + 1,
                                  jnp.zeros((), jnp.int32))
         feasible = jnp.logical_and(
@@ -232,6 +212,57 @@ def make_rollout_fn(
             feasible=feasible)
         return out_carry, out
 
+    return post_solve
+
+
+def make_rollout_fn(
+    arrays: ControllerArrays,
+    cfg: ControllerConfig,
+    T: int,
+    actuator_mode: str = "consistent",     # "smart" | "consistent"
+    robust_estimator: Optional[bool] = None,
+    plant_step: Optional[Callable] = None,  # (x, u, w) -> x_next
+    infeas_mode: Optional[str] = None,      # None | "certificate"
+    infeas_persist: int = 2,
+) -> Callable:
+    """Build ``rollout(x0, refs, w, theta, gamma) -> (carry, StepOutputs)``.
+
+    ``refs``: (T, nx); ``w``: (T, nx); ``theta``/``gamma``: (T,) int32.
+    ``plant_step`` defaults to the linear model ``x+ = A x + B u + w``.
+    ``infeas_mode="certificate"`` enables OSQP-style infeasibility
+    certificates (for the non-robust tracking arm, matching the
+    reference's Clarabel-status arm stop).
+
+    This is the per-element engine (solver "pallas" falls back to the
+    numerically equivalent vmapped-XLA ADMM here); ``make_batched_rollout``
+    dispatches whole batches to the fused kernel.
+    """
+    if robust_estimator is None:
+        robust_estimator = cfg.extended
+    if plant_step is None:
+        def plant_step(x, u, w):
+            return mm(arrays.A, x) + mm(arrays.B, u) + w
+    post_solve = _make_post_solve(arrays, cfg, actuator_mode,
+                                  robust_estimator, plant_step,
+                                  infeas_persist)
+
+    def step(carry: RolloutCarry, inp):
+        ref_t = inp[0]
+        theta_qp = jnp.concatenate([carry.est.x_hat, ref_t])
+        sol = _solve(arrays, cfg, theta_qp, carry.admm, pr=False)
+        sol_pr = (_solve(arrays, cfg, theta_qp, carry.admm_pr, pr=True)
+                  if cfg.extended else None)
+        z, r_prim, r_dual, admm_new, admm_pr_new = _select_extended(
+            cfg, carry, sol, sol_pr)
+        if infeas_mode == "certificate" and cfg.solver != "ip":
+            pinf, dinf = infeasibility_certificates(
+                arrays.admm, theta_qp, sol.state)
+            cert_bad = jnp.logical_or(pinf, dinf)
+        else:
+            cert_bad = jnp.zeros((), bool)
+        return post_solve(carry, inp, z, r_prim, r_dual,
+                          admm_new, admm_pr_new, cert_bad)
+
     def rollout(x0, refs, w, theta, gamma, carry0=None):
         if carry0 is None:
             carry0 = init_carry(arrays, cfg, x0, T)
@@ -240,8 +271,93 @@ def make_rollout_fn(
     return rollout
 
 
+def _make_pallas_batched_rollout(
+    arrays: ControllerArrays,
+    cfg: ControllerConfig,
+    T: int,
+    actuator_mode: str = "consistent",
+    robust_estimator: Optional[bool] = None,
+    plant_step: Optional[Callable] = None,
+    infeas_tol: Optional[float] = None,
+    infeas_persist: int = 3,
+) -> Callable:
+    """Batch-level rollout for ``cfg.solver == "pallas"``: one scan over T
+    whose per-step QP solve is the fused VMEM-resident kernel over the
+    WHOLE batch (``ops/qp_pallas.py``); the protocol state machines are
+    vmapped around it.  Signature matches ``make_batched_rollout``.
+    """
+    from ..ops.qp import polish_solution
+    from ..ops.qp_pallas import admm_solve_pallas
+
+    if robust_estimator is None:
+        robust_estimator = cfg.extended
+    if plant_step is None:
+        def plant_step(x, u, w):
+            return mm(arrays.A, x) + mm(arrays.B, u) + w
+    post_solve = _make_post_solve(arrays, cfg, actuator_mode,
+                                  robust_estimator, plant_step,
+                                  infeas_tol, infeas_persist)
+
+    def solve_b(spec, theta_b, state_b):
+        sol = admm_solve_pallas(spec, theta_b, state_b, iters=cfg.iters,
+                                block_b=cfg.pallas_block,
+                                interpret=cfg.pallas_interpret)
+        if cfg.polish:
+            def polish_one(th, st, rp, rd):
+                q = spec.q0 + mm(spec.Mq, th)
+                l = spec.l0 + mm(spec.Ml, th)
+                u = spec.u0 + mm(spec.Mu, th)
+                xs, rp2, rd2 = polish_solution(
+                    spec, q, l, u, st.x, st.y, st.z, rp, rd)
+                return spec.D * xs, rp2, rd2
+            zp, rp, rd = jax.vmap(polish_one)(
+                theta_b, sol.state, sol.r_prim, sol.r_dual)
+            sol = sol._replace(z_primal=zp, r_prim=rp, r_dual=rd)
+        return sol
+
+    # _select_extended works elementwise on batched leaves except for the
+    # scalar-vs-vector `use_pr` broadcast; do the selection batched here.
+    def step(carry: RolloutCarry, inp):
+        ref_t = inp[0]                                    # (B, nx)
+        theta_b = jnp.concatenate([carry.est.x_hat, ref_t], axis=-1)
+        sol = solve_b(arrays.admm, theta_b, carry.admm)
+        if cfg.extended:
+            sol_pr = solve_b(arrays.admm_pr, theta_b, carry.admm_pr)
+            use_pr = (carry.prev_gamma == 1)
+            z = jnp.where(use_pr[:, None], sol_pr.z_primal, sol.z_primal)
+            r_prim = jnp.where(use_pr, sol_pr.r_prim, sol.r_prim)
+            r_dual = jnp.where(use_pr, sol_pr.r_dual, sol.r_dual)
+            admm_new, admm_pr_new = sol.state, sol_pr.state
+        else:
+            z, r_prim, r_dual = sol.z_primal, sol.r_prim, sol.r_dual
+            admm_new, admm_pr_new = sol.state, carry.admm_pr
+        return jax.vmap(post_solve)(carry, inp, z, r_prim, r_dual,
+                                    admm_new, admm_pr_new)
+
+    def rollout(x0, refs, w, theta, gamma, carry0=None):
+        if carry0 is None:
+            carry0 = jax.vmap(lambda x: init_carry(arrays, cfg, x, T))(x0)
+        # scan over time with the batch as a trailing axis of each slice
+        inputs = (jnp.swapaxes(refs, 0, 1), jnp.swapaxes(w, 0, 1),
+                  jnp.swapaxes(theta, 0, 1), jnp.swapaxes(gamma, 0, 1))
+        carry, outs = jax.lax.scan(step, carry0, inputs)
+        # outputs come out time-major; match the vmapped path (batch-major)
+        outs = jax.tree_util.tree_map(
+            lambda a: jnp.swapaxes(a, 0, 1), outs)
+        return carry, outs
+
+    return rollout
+
+
 def make_batched_rollout(arrays, cfg, T, **kw) -> Callable:
-    """vmap the rollout over leading batch axes of all inputs."""
+    """Batched rollout over leading batch axes of all inputs.
+
+    ``cfg.solver == "pallas"`` routes the QP solves through the fused
+    VMEM-resident kernel (batch-level dispatch); anything else vmaps the
+    per-element engine.
+    """
+    if cfg.solver == "pallas":
+        return _make_pallas_batched_rollout(arrays, cfg, T, **kw)
     fn = make_rollout_fn(arrays, cfg, T, **kw)
     return jax.vmap(fn, in_axes=(0, 0, 0, 0, 0))
 

@@ -1,0 +1,185 @@
+"""On-device f32 parity gate (run on the real TPU each round).
+
+Proves the configuration the bench actually measures — float32,
+``matmul_precision=high``, 60 ADMM iterations, no polish — against the
+independent float64 NumPy protocol oracle (``tests/oracle_protocol.py``),
+plus compiled (NOT interpret-mode) Pallas-kernel parity and on-device
+invariant checks (Proposition 1, tube membership).
+
+Writes ``PARITY_TPU_r<N>.json`` at the repo root and exits non-zero on any
+gate failure, so it double-duties as a CI-for-hardware script:
+
+    python tools/tpu_checks.py            # default backend (TPU)
+    python tools/tpu_checks.py --round 2
+
+Oracle reference: the reference's own runtime checks at
+``Example_of_Tube_Tracking_MPC_Over_Lossy_Network.py:115-184``.
+"""
+
+import argparse
+import json
+import os
+import sys
+import warnings
+
+import numpy as np
+
+# the f64 IP oracle deliberately drives its barrier stiff near convergence;
+# scipy's rcond warnings there are expected (accuracy is residual-checked)
+warnings.filterwarnings("ignore", message=".*ill-conditioned matrix.*")
+
+_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _ROOT)
+sys.path.insert(0, os.path.join(_ROOT, "tests"))
+
+PASS = True
+
+
+def check(name, ok, detail=""):
+    global PASS
+    print(f"[{'PASS' if ok else 'FAIL'}] {name}"
+          + (f" — {detail}" if detail else ""))
+    PASS = PASS and bool(ok)
+    return bool(ok)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--round", type=int, default=2)
+    ap.add_argument("--iters", type=int, default=None,
+                    help="defaults to the bench default (bench.DEFAULT_ITERS)")
+    ap.add_argument("--precision", default="high",
+                    choices=["high", "highest"])
+    args = ap.parse_args()
+    if args.iters is None:
+        import bench
+        args.iters = bench.DEFAULT_ITERS
+
+    import jax
+    import jax.numpy as jnp
+    from rtmpc_tpu.ops.precision import set_matmul_precision
+    set_matmul_precision(args.precision)
+
+    from rtmpc_tpu.utils import box
+    from rtmpc_tpu.utils.polytope import contains
+    from rtmpc_tpu.models import setup_tube_tracking
+    from rtmpc_tpu.ops.qp import admm_solve, init_admm_state
+    from rtmpc_tpu.ops.qp_pallas import admm_solve_pallas
+    from rtmpc_tpu.parallel import make_batched_rollout
+    from rtmpc_tpu.parallel.rollout import make_rollout_fn
+    from oracle_protocol import run_oracle_rollout
+
+    dev = jax.devices()[0]
+    on_tpu = dev.platform in ("tpu", "axon") or "TPU" in str(dev)
+    print(f"device: {dev}  precision: {args.precision}  "
+          f"iters: {args.iters}")
+    result = {"device": str(dev), "precision": args.precision,
+              "iters": args.iters, "dtype": "float32"}
+
+    A = np.array([[1.0, 1.0], [0.0, 1.0]])
+    B = np.array([[0.0], [1.0]])
+    setup = setup_tube_tracking(
+        A, B, np.eye(2), np.eye(1), 10,
+        box(np.array([8.0, 8.0])), box(np.array([1.0])),
+        box(np.array([0.1, 0.1])), fixed_initial_state=True)
+    arrays, cfg = setup.to_device(dtype=jnp.float32, iters=args.iters)
+    _, cfg_pal = setup.to_device(dtype=jnp.float32, iters=args.iters,
+                                 solver="pallas", pallas_block=512)
+    spec = arrays.admm
+
+    # ---- 1. compiled Pallas kernel parity (no interpret) ----------------
+    rng = np.random.default_rng(0)
+    Bk = 512
+    th = jnp.asarray(rng.uniform(-2, 2, (Bk, 4)), jnp.float32)
+    xla_fn = jax.jit(jax.vmap(
+        lambda t: admm_solve(spec, t, init_admm_state(spec),
+                             iters=args.iters)))
+    pal_fn = jax.jit(lambda t: admm_solve_pallas(spec, t, iters=args.iters,
+                                                 block_b=256))
+    ref = xla_fn(th)
+    pal = pal_fn(th)
+    kerr = float(jnp.max(jnp.abs(pal.z_primal - ref.z_primal)))
+    result["pallas_kernel_max_abs_err"] = kerr
+    # HIGHEST: both backends compute exact-f32 contractions -> tight.
+    # HIGH: XLA's native 3-pass vs the kernel's manual 3-pass bf16 round
+    # differently per partial product; after `iters` contractions the
+    # envelope is ~1e-3 (both are equally valid HIGH arithmetic).
+    ktol = 1e-4 if args.precision == "highest" else 5e-3
+    check(f"compiled pallas kernel parity vs XLA (atol {ktol:g})",
+          kerr < ktol, f"max|dz| = {kerr:.2e}")
+
+    # ---- 2. bench-config f32 rollout vs f64 oracle -----------------------
+    T = 120
+    rng = np.random.default_rng(7)
+    theta = (rng.uniform(size=T) >= 0.7).astype(np.int64)
+    gamma = (rng.uniform(size=T) >= 0.7).astype(np.int64)
+    theta[0] = gamma[0] = 1
+    w = rng.uniform(-0.1, 0.1, size=(T, 2))
+    refs = np.zeros((T, 2))
+    refs[:T // 4, 0] = 5.0
+    refs[T // 4:T // 2, 0] = -9.0
+    refs[T // 2:, 0] = 4.0
+    x0 = np.zeros(2)
+
+    oracle = run_oracle_rollout(setup, x0, refs, w, theta, gamma)
+    assert oracle["feasible"] and oracle["steps"] == T
+
+    fn = jax.jit(make_rollout_fn(arrays, cfg, T))
+    carry, outs = fn(jnp.asarray(x0, jnp.float32),
+                     jnp.asarray(refs, jnp.float32),
+                     jnp.asarray(w, jnp.float32),
+                     jnp.asarray(theta, jnp.int32),
+                     jnp.asarray(gamma, jnp.int32))
+    outs = jax.tree_util.tree_map(np.asarray, outs)
+    terr = float(np.max(np.abs(outs.x - oracle["x"])))
+    uerr = float(np.max(np.abs(outs.u - oracle["u"])))
+    result["rollout_traj_max_abs_err"] = terr
+    result["rollout_u_max_abs_err"] = uerr
+    check("f32 bench-config trajectory parity vs f64 oracle (atol 5e-3)",
+          terr < 5e-3, f"max|dx| = {terr:.2e}, max|du| = {uerr:.2e}")
+    check("consistency indicator Theta exact match",
+          bool(np.array_equal(outs.Theta, oracle["Theta"])))
+    check("rollout stays feasible on device", bool(carry.feasible))
+
+    # invariant checks ON THE DEVICE OUTPUTS (reference :165-184)
+    Z = setup.Z
+    e = outs.x_hat - np.vstack([x0, outs.x[:-1]])
+    prop1_ok = all(contains(Z, e[t], tol=5e-3)
+                   for t in range(T) if outs.Theta[t] == 1)
+    check("Proposition 1 on-device: e in Z when Theta=1", prop1_ok,
+          f"{int(outs.Theta.sum())} consistent steps")
+    # x_nom reported at step t is the PRE-advance nominal state, so the
+    # tube invariant pairs the post-step state x_{t+1} (= outs.x[t]) with
+    # x_nom_{t+1} (= outs.x_nom[t+1])
+    tube_ok = all(contains(Z, outs.x[t] - outs.x_nom[t + 1], tol=5e-3)
+                  for t in range(T - 1))
+    check("tube membership on-device: x - x_nom in Z", tube_ok)
+
+    # ---- 3. compiled pallas-mode batched rollout vs oracle ---------------
+    Bb = 64
+    roll_pal = jax.jit(make_batched_rollout(arrays, cfg_pal, T))
+    rep = lambda a, dt: jnp.broadcast_to(
+        jnp.asarray(a, dt), (Bb,) + np.asarray(a).shape)
+    carry_p, outs_p = roll_pal(rep(x0, jnp.float32),
+                               rep(refs, jnp.float32),
+                               rep(w, jnp.float32),
+                               rep(theta, jnp.int32),
+                               rep(gamma, jnp.int32))
+    xs_p = np.asarray(outs_p.x)
+    perr = float(np.max(np.abs(xs_p - oracle["x"][None])))
+    result["pallas_rollout_traj_max_abs_err"] = perr
+    check("compiled pallas-mode rollout parity vs oracle (atol 5e-3)",
+          perr < 5e-3, f"max|dx| = {perr:.2e}")
+    check("pallas-mode rollout batch identical across elements",
+          float(np.max(np.abs(xs_p - xs_p[0:1]))) == 0.0)
+
+    result["pass"] = PASS
+    out = os.path.join(_ROOT, f"PARITY_TPU_r{args.round:02d}.json")
+    with open(out, "w") as f:
+        json.dump(result, f, indent=1)
+    print(f"wrote {out}")
+    return 0 if PASS else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
