@@ -28,13 +28,15 @@ def make_parser(description: str) -> argparse.ArgumentParser:
                    help="engine dtype; default float64 on CPU, float32 on "
                         "TPU (TPU has no f64 linear-algebra kernels)")
     p.add_argument("--seed", type=int, default=0)
-    p.add_argument("--solver", default=None, choices=["ip", "admm"],
+    p.add_argument("--solver", default=None,
+                   choices=["ip", "admm", "pallas"],
                    help="QP solver: default 'ip' on CPU (f64 "
                         "interior-point, Clarabel-class) and 'admm' with "
                         "KKT polish on TPU (the IP path's per-iteration "
                         "LU factorizations compile for minutes on TPU; "
                         "ADMM+polish compiles in seconds at ~1e-4 f32 "
-                        "solution accuracy)")
+                        "solution accuracy); 'pallas' routes batched "
+                        "sweeps through the fused VMEM-resident kernel")
     return p
 
 
@@ -70,8 +72,8 @@ def solver_kwargs(args, ip_iters: int = 30, admm_iters: int = 400):
     if args.solver == "ip":
         return dict(solver="ip", ip_iters=ip_iters, polish=True)
     if args.dtype == "float64":
-        return dict(solver="admm", iters=admm_iters, polish=True)
-    return dict(solver="admm", iters=admm_iters, polish=False)
+        return dict(solver=args.solver, iters=admm_iters, polish=True)
+    return dict(solver=args.solver, iters=admm_iters, polish=False)
 
 
 def check_tol(args) -> float:

@@ -74,7 +74,7 @@ def main(argv=None):
     res_track = run_mc_sweep(
         arrays_track, cfg_track, T=T, n_mc=n_mc, loss_probs=probs,
         refs=refs, x0=sc.x0, w_lo=sc.w_lo, w_hi=sc.w_hi, key=k_tube,
-        actuator_mode="smart", infeas_tol=2e-2,
+        actuator_mode="smart", infeas_mode="certificate",
         checkpoint_path=ckpt("track"), n_chunks=args.n_chunks)
 
     n_solves = len(probs) * n_mc * T * 2

@@ -53,7 +53,7 @@ def main(argv=None):
         "Ext-RT-MPC": (ext.to_device(dtype=dtype,
                                      **solver_kwargs(args)), "consistent", None),
         "R-MPC": (track.to_device(dtype=dtype, **solver_kwargs(args)),
-                  "smart", 2e-2),
+                  "smart", "certificate"),
     }
 
     refs = np.zeros((T, 4))
@@ -61,11 +61,11 @@ def main(argv=None):
     key = jax.random.PRNGKey(args.seed)
 
     results = {}
-    for name, ((arrays, cfg), mode, tol) in arms.items():
+    for name, ((arrays, cfg), mode, im) in arms.items():
         results[name] = run_mc_sweep(
             arrays, cfg, T=T, n_mc=n_mc, loss_probs=probs, refs=refs,
             x0=sc.x0, w_lo=sc.w_lo, w_hi=sc.w_hi, key=key,
-            actuator_mode=mode, infeas_tol=tol)
+            actuator_mode=mode, infeas_mode=im)
         print(f"{name}: sweep wall time {results[name].wall_time_s:.2f}s")
 
     print("\nMean RMS tracking error per loss probability:")

@@ -58,7 +58,7 @@ def main(argv=None):
     track = cached_setup(setup_tracking, sc.A, sc.B, sc.Q, sc.R, sc.N,
                          sc.X, sc.U, cache=not args.no_cache)
     setups = {"RT-MPC": (tube, "consistent", None),
-              "R-MPC": (track, "smart", 2e-2)}
+              "R-MPC": (track, "smart", "certificate")}
     if args.extended:
         ext = cached_setup(setup_extended_tube_tracking, sc.A, sc.B, sc.Q,
                            sc.R, sc.N, sc.X, sc.U, sc.W,
@@ -74,13 +74,13 @@ def main(argv=None):
     key = jax.random.PRNGKey(args.seed)
 
     results = {}
-    for name, (setup, mode, tol) in setups.items():
+    for name, (setup, mode, im) in setups.items():
         arrays, cfg = setup.to_device(dtype=dtype,
                                       **solver_kwargs(args))
         results[name] = run_mc_sweep(
             arrays, cfg, T=T, n_mc=n_mc, loss_probs=probs, refs=refs,
             x0=sc.x0, w_lo=sc.w_lo, w_hi=sc.w_hi, key=key,
-            actuator_mode=mode, infeas_tol=tol, plant_step=plant_step)
+            actuator_mode=mode, infeas_mode=im, plant_step=plant_step)
         print(f"{name}: wall {results[name].wall_time_s:.2f}s "
               f"infeasible {results[name].infeasible_counts.tolist()}")
 

@@ -25,7 +25,7 @@ import jax.numpy as jnp
 
 from ..models.specs import ControllerArrays, ControllerConfig
 from ..protocol.network import draw_disturbances, draw_loss_masks
-from .rollout import make_rollout_fn, tracking_error_rms
+from .rollout import make_batched_rollout, tracking_error_rms
 
 __all__ = ["MCSweepResult", "run_mc_sweep"]
 
@@ -57,7 +57,7 @@ def run_mc_sweep(
     w_lo, w_hi,                    # disturbance box
     key: jax.Array,
     actuator_mode: str = "consistent",
-    infeas_tol: Optional[float] = None,
+    infeas_mode: Optional[str] = None,     # None | "certificate"
     plant_step: Optional[Callable] = None,
     sample_mc_index: int = 5,
     mesh=None,
@@ -98,11 +98,12 @@ def run_mc_sweep(
     refs_b = jnp.broadcast_to(jnp.asarray(refs, dt), (BATCH, T, nx))
     x0_b = jnp.broadcast_to(jnp.asarray(x0, dt).reshape(nx), (BATCH, nx))
 
-    roll = make_rollout_fn(arrays, cfg, T, actuator_mode=actuator_mode,
-                           infeas_tol=infeas_tol, plant_step=plant_step)
+    roll = make_batched_rollout(arrays, cfg, T, actuator_mode=actuator_mode,
+                                infeas_mode=infeas_mode,
+                                plant_step=plant_step)
 
     def batched(x0b, refsb, wb, thetab, gammab):
-        carry, outs = jax.vmap(roll)(x0b, refsb, wb, thetab, gammab)
+        carry, outs = roll(x0b, refsb, wb, thetab, gammab)
         err = jax.vmap(tracking_error_rms)(
             x0b, outs.x, refsb, carry.feasible)
         return outs.x, outs.x_nom, err, carry.feasible

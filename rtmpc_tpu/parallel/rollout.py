@@ -278,8 +278,8 @@ def _make_pallas_batched_rollout(
     actuator_mode: str = "consistent",
     robust_estimator: Optional[bool] = None,
     plant_step: Optional[Callable] = None,
-    infeas_tol: Optional[float] = None,
-    infeas_persist: int = 3,
+    infeas_mode: Optional[str] = None,      # None | "certificate"
+    infeas_persist: int = 2,
 ) -> Callable:
     """Batch-level rollout for ``cfg.solver == "pallas"``: one scan over T
     whose per-step QP solve is the fused VMEM-resident kernel over the
@@ -296,7 +296,7 @@ def _make_pallas_batched_rollout(
             return mm(arrays.A, x) + mm(arrays.B, u) + w
     post_solve = _make_post_solve(arrays, cfg, actuator_mode,
                                   robust_estimator, plant_step,
-                                  infeas_tol, infeas_persist)
+                                  infeas_persist)
 
     def solve_b(spec, theta_b, state_b):
         sol = admm_solve_pallas(spec, theta_b, state_b, iters=cfg.iters,
@@ -331,8 +331,15 @@ def _make_pallas_batched_rollout(
         else:
             z, r_prim, r_dual = sol.z_primal, sol.r_prim, sol.r_dual
             admm_new, admm_pr_new = sol.state, carry.admm_pr
+        if infeas_mode == "certificate":
+            pinf, dinf = jax.vmap(
+                lambda th, st: infeasibility_certificates(
+                    arrays.admm, th, st))(theta_b, sol.state)
+            cert_bad = jnp.logical_or(pinf, dinf)
+        else:
+            cert_bad = jnp.zeros(z.shape[0], bool)
         return jax.vmap(post_solve)(carry, inp, z, r_prim, r_dual,
-                                    admm_new, admm_pr_new)
+                                    admm_new, admm_pr_new, cert_bad)
 
     def rollout(x0, refs, w, theta, gamma, carry0=None):
         if carry0 is None:
