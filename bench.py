@@ -49,8 +49,23 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 # lever.  BENCH_ITERS=60 is the documented throughput mode (~72k
 # rollouts/s, trajectory envelope 2e-1 on the saturated-reference
 # scenario, all tube invariants still hold).
-DEFAULT_ITERS = 300
+# Two-phase rho schedule (round 3): phase 1 at the tuned rho drives the
+# primal/active set, phase 2 at rho*0.2 converges the dual.  Measured on
+# TPU v5e (tools/sweep_schedule.py + tpu_checks batched section):
+# 1.7e-4 trajectory parity vs the f64 oracle (4x BETTER than the old
+# fixed-300 default's 6.4e-4) at ~2.2x the round-2 throughput.
+# phase1_precision single-pass bf16 is REJECTED for the default: it looks
+# fine unbatched (matvecs run exact-f32 on the VPU) but diverges to 1e28
+# under vmap (batched matvec = bf16 matmul on the rho_eq~1e3-stiff K);
+# the batched-parity section of tools/tpu_checks.py now guards this.
+DEFAULT_ITERS = 60
+DEFAULT_ITERS2 = 60
+DEFAULT_RHO2_SCALE = 0.2
+DEFAULT_ALPHA = 1.8
+DEFAULT_PHASE1_PRECISION = None
 DEFAULT_POLISH = 0
+DEFAULT_EARLY_TOL = None   # measured: no win (vmapped while_loop runs at
+                           # the slowest lane's pace); see tools/sweep_early_exit.py
 
 
 def main():
@@ -78,9 +93,19 @@ def main():
     BATCH = int(os.environ.get("BENCH_BATCH", 4096))
     T = int(os.environ.get("BENCH_T", 120))
     ITERS = int(os.environ.get("BENCH_ITERS", DEFAULT_ITERS))
+    ITERS2 = int(os.environ.get("BENCH_ITERS2", DEFAULT_ITERS2))
+    ALPHA = float(os.environ.get("BENCH_ALPHA", DEFAULT_ALPHA))
+    RHO2_SCALE = float(os.environ.get("BENCH_RHO2_SCALE",
+                                      DEFAULT_RHO2_SCALE))
+    P1PREC = os.environ.get("BENCH_PHASE1_PRECISION",
+                            DEFAULT_PHASE1_PRECISION or "none")
+    P1PREC = None if P1PREC in ("none", "None", "") else P1PREC
     REPS = int(os.environ.get("BENCH_REPS", 5))
     POLISH = bool(int(os.environ.get("BENCH_POLISH", str(DEFAULT_POLISH))))
     SOLVER = os.environ.get("BENCH_SOLVER", "admm")
+    # residual-based early exit: "none" disables; default per DEFAULT_EARLY_TOL
+    _et = os.environ.get("BENCH_EARLY_TOL", str(DEFAULT_EARLY_TOL))
+    EARLY_TOL = None if _et in ("none", "None", "") else float(_et)
     dtype = jnp.dtype(os.environ.get("BENCH_DTYPE", "float32"))
 
     A = np.array([[1.0, 1.0], [0.0, 1.0]])
@@ -89,8 +114,10 @@ def main():
         A, B, np.eye(2), np.eye(1), 10,
         box(np.array([8.0, 8.0])), box(np.array([1.0])),
         box(np.array([0.1, 0.1])), fixed_initial_state=True)
-    arrays, cfg = setup.to_device(dtype=dtype, iters=ITERS, polish=POLISH,
-                                  solver=SOLVER)
+    arrays, cfg = setup.to_device(dtype=dtype, iters=ITERS, iters2=ITERS2,
+                                  alpha=ALPHA, rho2_scale=RHO2_SCALE,
+                                  phase1_precision=P1PREC, polish=POLISH,
+                                  solver=SOLVER, early_tol=EARLY_TOL)
     nx = cfg.nx
 
     key = jax.random.PRNGKey(0)
@@ -180,6 +207,11 @@ def main():
         "T": T,
         "solver": SOLVER,
         "admm_iters": ITERS,
+        "admm_iters2": ITERS2,
+        "alpha": ALPHA,
+        "rho2_scale": RHO2_SCALE,
+        "phase1_precision": P1PREC,
+        "early_tol": EARLY_TOL,
         "polish": POLISH,
         "dtype": str(dtype),
         "matmul_precision": get_matmul_precision(),

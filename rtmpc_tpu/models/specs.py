@@ -98,11 +98,17 @@ class MPCSetup:
 
     # ------------------------------------------------------------------
     def to_device(self, dtype=jnp.float32, pad_to: int = 8,
-                  iters: int = 100, rho="auto", polish: bool = False,
+                  iters: int = 100, iters2: int = 0,
+                  rho2_scale: float = 0.1,
+                  phase1_precision: Optional[str] = None,
+                  rho="auto", polish: bool = False,
                   solver: str = "admm", ip_iters: int = 25,
                   probe_thetas: Optional[np.ndarray] = None,
                   pallas_block: int = 1024,
                   pallas_interpret: bool = False,
+                  early_tol: Optional[float] = None,
+                  early_dual_factor: float = 25.0,
+                  check_every: int = 25,
                   **admm_kw):
         """Freeze into (ControllerArrays, ControllerConfig) for the engine.
 
@@ -120,15 +126,20 @@ class MPCSetup:
         """
         tmpl = self.template
         # tune rho at (roughly) the iteration budget the engine will use
-        admm_kw.setdefault("tune_iters", max(100, min(iters, 600)))
+        admm_kw.setdefault("tune_iters", max(100, min(iters + iters2, 600)))
+        r2s = rho2_scale if iters2 > 0 else None
         admm = prepare_admm(tmpl, rho=rho, pad_to=pad_to, dtype=dtype,
-                            probe_thetas=probe_thetas, **admm_kw)
+                            probe_thetas=probe_thetas, rho2_scale=r2s,
+                            **admm_kw)
+        admm, admm2 = admm if iters2 > 0 else (admm, admm)
         if self.template_pr is not None:
             admm_pr = prepare_admm(self.template_pr, rho=rho, pad_to=pad_to,
                                    dtype=dtype, probe_thetas=probe_thetas,
-                                   **admm_kw)
+                                   rho2_scale=r2s, **admm_kw)
+            admm_pr, admm2_pr = (admm_pr if iters2 > 0
+                                 else (admm_pr, admm_pr))
         else:
-            admm_pr = admm  # placeholder with identical structure
+            admm_pr, admm2_pr = admm, admm2  # identical structure
         ip = prepare_ip(tmpl, pad_to=pad_to, dtype=dtype)
         ip_pr = (prepare_ip(self.template_pr, pad_to=pad_to, dtype=dtype)
                  if self.template_pr is not None else ip)
@@ -159,6 +170,8 @@ class MPCSetup:
             K_plant=jnp.asarray(Kp, dtype),
             Hz=jnp.asarray(Hz_p, dtype),
             hz=jnp.asarray(hz_p, dtype),
+            admm2=admm2,
+            admm2_pr=admm2_pr,
         )
         cfg = ControllerConfig(
             nx=nx, nu=nu, N=N,
@@ -166,6 +179,7 @@ class MPCSetup:
             tracking=tmpl.tracking,
             extended=self.template_pr is not None,
             iters=iters,
+            iters2=iters2,
             polish=polish,
             solver=solver,
             ip_iters=ip_iters,
@@ -174,6 +188,10 @@ class MPCSetup:
             ubar_off=(nx * (N + 1) + nu * N + nx) if tmpl.tracking else -1,
             pallas_block=pallas_block,
             pallas_interpret=pallas_interpret,
+            early_tol=early_tol,
+            early_dual_factor=early_dual_factor,
+            check_every=check_every,
+            phase1_precision=phase1_precision,
         )
         return arrays, cfg
 
@@ -190,6 +208,12 @@ class ControllerArrays(NamedTuple):
     K_plant: jax.Array         # (nu, nx) ancillary gain
     Hz: jax.Array              # (mz_p, nx) tube H-rep (padded)
     hz: jax.Array              # (mz_p,)
+    # Two-phase rho schedule (ops/qp.py:prepare_admm rho2_scale): phase-2
+    # specs (rho/10 K^{-1} + composites).  Alias of admm/admm_pr when the
+    # schedule is disabled (cfg.iters2 == 0) so the pytree structure is
+    # stable.
+    admm2: ADMMSpec = None
+    admm2_pr: ADMMSpec = None
 
 
 @dataclasses.dataclass(frozen=True)
@@ -210,6 +234,18 @@ class ControllerConfig:
     ubar_off: int
     pallas_block: int = 1024
     pallas_interpret: bool = False
+    # Residual-based early exit of the ADMM loop (ops/qp.py:admm_solve):
+    # None = fixed iteration count; a float = scaled-residual tolerance at
+    # which warm-started steps stop early (iters stays the hard budget).
+    early_tol: Optional[float] = None
+    early_dual_factor: float = 25.0
+    check_every: int = 25
+    # Two-phase rho schedule: phase-2 iteration count (0 = disabled);
+    # phase 2 runs on arrays.admm2 (rho scaled by to_device's rho2_scale).
+    iters2: int = 0
+    # matmul-precision override for PHASE 1 only ("default" = single-pass
+    # bf16; phase 2 repairs the iterate at the solve-path precision)
+    phase1_precision: Optional[str] = None
 
 
 # ---------------------------------------------------------------------------

@@ -120,8 +120,22 @@ def _solve(arrays, cfg, theta_qp, warm_state, pr=False):
                             r_prim=sol.r_prim, r_dual=sol.r_dual)
     # "admm" and (per-element fallback) "pallas" — identical iteration
     spec = arrays.admm_pr if pr else arrays.admm
+    if cfg.iters2 > 0:
+        # two-phase rho schedule: phase 1 (tuned rho) drives the
+        # primal/active set, phase 2 (rho * rho2_scale) converges the dual
+        sol1 = admm_solve(spec, theta_qp, warm_state, iters=cfg.iters,
+                          precision=cfg.phase1_precision)
+        spec2 = arrays.admm2_pr if pr else arrays.admm2
+        return admm_solve(spec2, theta_qp, sol1.state,
+                          iters=cfg.iters2, polish=cfg.polish,
+                          early_tol=cfg.early_tol,
+                          early_dual_factor=cfg.early_dual_factor,
+                          check_every=cfg.check_every)
     return admm_solve(spec, theta_qp, warm_state,
-                      iters=cfg.iters, polish=cfg.polish)
+                      iters=cfg.iters, polish=cfg.polish,
+                      early_tol=cfg.early_tol,
+                      early_dual_factor=cfg.early_dual_factor,
+                      check_every=cfg.check_every)
 
 
 def _select_extended(cfg, carry, sol, sol_pr):
@@ -255,8 +269,10 @@ def make_rollout_fn(
         z, r_prim, r_dual, admm_new, admm_pr_new = _select_extended(
             cfg, carry, sol, sol_pr)
         if infeas_mode == "certificate" and cfg.solver != "ip":
+            # probe with the spec whose rho produced the final state
+            cert_spec = arrays.admm2 if cfg.iters2 > 0 else arrays.admm
             pinf, dinf = infeasibility_certificates(
-                arrays.admm, theta_qp, sol.state)
+                cert_spec, theta_qp, sol.state)
             cert_bad = jnp.logical_or(pinf, dinf)
         else:
             cert_bad = jnp.zeros((), bool)
@@ -298,10 +314,17 @@ def _make_pallas_batched_rollout(
                                   robust_estimator, plant_step,
                                   infeas_persist)
 
-    def solve_b(spec, theta_b, state_b):
+    def solve_b(spec, spec2, theta_b, state_b):
         sol = admm_solve_pallas(spec, theta_b, state_b, iters=cfg.iters,
                                 block_b=cfg.pallas_block,
                                 interpret=cfg.pallas_interpret)
+        if cfg.iters2 > 0:
+            # two-phase rho schedule: second kernel pass at rho2
+            sol = admm_solve_pallas(spec2, theta_b, sol.state,
+                                    iters=cfg.iters2,
+                                    block_b=cfg.pallas_block,
+                                    interpret=cfg.pallas_interpret)
+            spec = spec2
         if cfg.polish:
             def polish_one(th, st, rp, rd):
                 q = spec.q0 + mm(spec.Mq, th)
@@ -320,9 +343,10 @@ def _make_pallas_batched_rollout(
     def step(carry: RolloutCarry, inp):
         ref_t = inp[0]                                    # (B, nx)
         theta_b = jnp.concatenate([carry.est.x_hat, ref_t], axis=-1)
-        sol = solve_b(arrays.admm, theta_b, carry.admm)
+        sol = solve_b(arrays.admm, arrays.admm2, theta_b, carry.admm)
         if cfg.extended:
-            sol_pr = solve_b(arrays.admm_pr, theta_b, carry.admm_pr)
+            sol_pr = solve_b(arrays.admm_pr, arrays.admm2_pr, theta_b,
+                             carry.admm_pr)
             use_pr = (carry.prev_gamma == 1)
             z = jnp.where(use_pr[:, None], sol_pr.z_primal, sol.z_primal)
             r_prim = jnp.where(use_pr, sol_pr.r_prim, sol.r_prim)
@@ -332,9 +356,10 @@ def _make_pallas_batched_rollout(
             z, r_prim, r_dual = sol.z_primal, sol.r_prim, sol.r_dual
             admm_new, admm_pr_new = sol.state, carry.admm_pr
         if infeas_mode == "certificate":
+            cert_spec = arrays.admm2 if cfg.iters2 > 0 else arrays.admm
             pinf, dinf = jax.vmap(
                 lambda th, st: infeasibility_certificates(
-                    arrays.admm, th, st))(theta_b, sol.state)
+                    cert_spec, th, st))(theta_b, sol.state)
             cert_bad = jnp.logical_or(pinf, dinf)
         else:
             cert_bad = jnp.zeros(z.shape[0], bool)

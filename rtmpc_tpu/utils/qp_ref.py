@@ -94,6 +94,14 @@ def solve_qp_dense(P, q, A=None, b=None, G=None, h=None,
     status = "max_iter"
     it = 0
     mu = np.dot(s, lam) / mi
+    # Best-iterate tracking: on heavily degenerate problems (near-redundant
+    # constraint blocks, e.g. an 854-row mRPI tube) Mehrotra can CONVERGE
+    # and then blow up — observed on the cartpole tracking QP: at it=30
+    # pr=2.5e-14, mu=2.7e-16, du=5.2e-3 (6.7e-8 RELATIVE to the 7.7e4 dual
+    # magnitude), after which the multipliers explode to 1e16.  Keep the
+    # best iterate by relative merit and fall back to it at exit.
+    best = None
+    best_merit = np.inf
     for it in range(1, max_iter + 1):
         rd = P @ z + q + G.T @ lam
         if A is not None:
@@ -112,11 +120,19 @@ def solve_qp_dense(P, q, A=None, b=None, G=None, h=None,
             break
         # Degenerate/active-boundary problems can drive mu to ~0 while a
         # residual stalls slightly above tol from float64 noise in the huge
-        # multipliers; accept as optimal at a relaxed residual level.
+        # multipliers; accept as optimal at a relaxed residual level
+        # (dual residual measured RELATIVE to the dual magnitude).
         scale = 1.0 + np.max(np.abs(z))
-        if mu < 1e-12 and pr < 1e-6 * scale and du < 1e-6 * scale:
+        dscale = 1.0 + np.max(np.abs(lam)) + (np.max(np.abs(y))
+                                              if y is not None else 0.0)
+        if mu < 1e-12 and pr < 1e-6 * scale and du < 1e-6 * dscale:
             status = "optimal"
             break
+        merit = pr / scale + du / dscale + mu
+        if merit < best_merit:
+            best_merit = merit
+            best = (z.copy(), s.copy(), lam.copy(),
+                    None if y is None else y.copy(), pr, du / dscale, mu)
 
         D = lam / s                      # diag of Lambda S^{-1}
         H = P + (G.T * D) @ G
@@ -152,6 +168,16 @@ def solve_qp_dense(P, q, A=None, b=None, G=None, h=None,
         if not np.all(np.isfinite(z)) or mu > 1e16:
             status = "infeasible_or_unbounded"
             break
+
+    if status != "optimal" and best is not None:
+        # post-convergence blowup / stall: fall back to the best iterate
+        # and accept it if it meets the relaxed (degenerate-case) test
+        zb, sb, lamb, yb, prb, dub_rel, mub = best
+        if mub < 1e-10 and prb < 1e-6 * (1.0 + np.max(np.abs(zb))) \
+                and dub_rel < 1e-6:
+            z, s, lam, y = zb, sb, lamb, yb
+            mu = mub
+            status = "optimal"
 
     obj = float(0.5 * z @ P @ z + q @ z)
     return QPSolution(z, y, lam, s, obj, status, it, float(mu))

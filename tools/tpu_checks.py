@@ -48,12 +48,20 @@ def main():
     ap.add_argument("--round", type=int, default=2)
     ap.add_argument("--iters", type=int, default=None,
                     help="defaults to the bench default (bench.DEFAULT_ITERS)")
+    ap.add_argument("--iters2", type=int, default=None)
     ap.add_argument("--precision", default="high",
                     choices=["high", "highest"])
     args = ap.parse_args()
+    import bench
     if args.iters is None:
-        import bench
         args.iters = bench.DEFAULT_ITERS
+    if args.iters2 is None:
+        args.iters2 = bench.DEFAULT_ITERS2
+    # the full bench-default solver config (two-phase rho schedule)
+    solver_kw = dict(iters=args.iters, iters2=args.iters2,
+                     alpha=bench.DEFAULT_ALPHA,
+                     rho2_scale=bench.DEFAULT_RHO2_SCALE,
+                     phase1_precision=bench.DEFAULT_PHASE1_PRECISION)
 
     import jax
     import jax.numpy as jnp
@@ -74,7 +82,7 @@ def main():
     print(f"device: {dev}  precision: {args.precision}  "
           f"iters: {args.iters}")
     result = {"device": str(dev), "precision": args.precision,
-              "iters": args.iters, "dtype": "float32"}
+              "dtype": "float32", **{k: v for k, v in solver_kw.items()}}
 
     A = np.array([[1.0, 1.0], [0.0, 1.0]])
     B = np.array([[0.0], [1.0]])
@@ -82,8 +90,8 @@ def main():
         A, B, np.eye(2), np.eye(1), 10,
         box(np.array([8.0, 8.0])), box(np.array([1.0])),
         box(np.array([0.1, 0.1])), fixed_initial_state=True)
-    arrays, cfg = setup.to_device(dtype=jnp.float32, iters=args.iters)
-    _, cfg_pal = setup.to_device(dtype=jnp.float32, iters=args.iters,
+    arrays, cfg = setup.to_device(dtype=jnp.float32, **solver_kw)
+    _, cfg_pal = setup.to_device(dtype=jnp.float32, **solver_kw,
                                  solver="pallas", pallas_block=512)
     spec = arrays.admm
 
@@ -154,6 +162,28 @@ def main():
     tube_ok = all(contains(Z, outs.x[t] - outs.x_nom[t + 1], tol=5e-3)
                   for t in range(T - 1))
     check("tube membership on-device: x - x_nom in Z", tube_ok)
+
+    # ---- 2b. BATCHED vmapped-XLA rollout vs oracle ------------------------
+    # Guards the unbatched-vs-batched arithmetic trap: an unbatched matvec
+    # runs exact-f32 on the VPU, the same op under vmap is a matmul on the
+    # MXU at the configured precision — a config can look perfect in the
+    # per-element check above and diverge in the production batched engine
+    # (observed: single-pass-bf16 phase 1 hit 1e28 at step 1 only when
+    # batched).  Element 0 of a 64-wide batch must match the oracle.
+    Bb = 64
+    roll_x = jax.jit(make_batched_rollout(arrays, cfg, T))
+    rep = lambda a, dt: jnp.broadcast_to(
+        jnp.asarray(a, dt), (Bb,) + np.asarray(a).shape)
+    carry_b, outs_b = roll_x(rep(x0, jnp.float32), rep(refs, jnp.float32),
+                             rep(w, jnp.float32), rep(theta, jnp.int32),
+                             rep(gamma, jnp.int32))
+    xs_b = np.asarray(outs_b.x)
+    berr = float(np.max(np.abs(xs_b - oracle["x"][None])))
+    result["batched_rollout_traj_max_abs_err"] = berr
+    check("BATCHED vmapped-XLA rollout parity vs oracle (atol 5e-3)",
+          berr < 5e-3, f"max|dx| = {berr:.2e}")
+    check("batched rollout stays feasible on device",
+          bool(np.asarray(carry_b.feasible).all()))
 
     # ---- 3. compiled pallas-mode batched rollout vs oracle ---------------
     Bb = 64
