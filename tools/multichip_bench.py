@@ -1,0 +1,127 @@
+"""Virtual-mesh scaling measurement -> MULTICHIP_r<N>.json.
+
+Real multi-chip hardware is not available on this rig (one TPU v5e via a
+tunnel), so BASELINE's >=0.8 scaling-efficiency axis cannot be measured
+on hardware.  What a virtual 8-device CPU mesh CAN measure, and what this
+records:
+
+1. **Sharding overhead**: throughput of the SAME total batch through the
+   production engine with inputs sharded over N virtual devices vs
+   unsharded.  XLA partitions the vmapped computation from the input
+   shardings; if the partitioner inserted spurious collectives or
+   recompiled per-shard python, this ratio would crater.  On one host the
+   virtual devices share the physical cores, so ratio ~ 1.0 is the ideal
+   (NOT N-times speedup — that requires N real chips).
+2. **Bitwise determinism**: sharded and unsharded runs must produce
+   bit-identical trajectories and metrics (also asserted in
+   tests/test_sharding_determinism.py every run).
+3. The dryrun path (``__graft_entry__.dryrun_multichip``) separately
+   proves the shard_map+psum Monte-Carlo reduction compiles and executes.
+
+    python tools/multichip_bench.py --round 3
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
+                           + " --xla_force_host_platform_device_count=8")
+
+_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _ROOT)
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--round", type=int, default=3)
+    ap.add_argument("--batch", type=int, default=512)
+    ap.add_argument("--T", type=int, default=40)
+    ap.add_argument("--reps", type=int, default=3)
+    args = ap.parse_args()
+
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+    import __graft_entry__ as ge
+    from rtmpc_tpu.parallel import make_batched_rollout
+    from rtmpc_tpu.protocol import draw_loss_masks, draw_disturbances
+
+    devices = jax.devices()
+    assert len(devices) == 8, devices
+    _, arrays, cfg = ge._flagship()
+    B, T = args.batch, args.T
+    nx = cfg.nx
+    dt = arrays.A.dtype
+
+    key = jax.random.PRNGKey(0)
+    k1, k2 = jax.random.split(key)
+    theta, gamma = draw_loss_masks(k1, T, 0.7, 0.7, batch_shape=(B,))
+    w = draw_disturbances(k2, T, -0.1 * np.ones(nx), 0.1 * np.ones(nx),
+                          batch_shape=(B,)).astype(dt)
+    refs = jnp.zeros((B, T, nx), dt).at[:, :, 0].set(4.0)
+    x0 = jnp.zeros((B, nx), dt)
+
+    roll = jax.jit(make_batched_rollout(arrays, cfg, T))
+
+    def run(n_dev):
+        if n_dev == 1:
+            ins = (x0, refs, w, theta, gamma)
+        else:
+            mesh = Mesh(np.array(devices[:n_dev]), axis_names=("dp",))
+            sh = NamedSharding(mesh, P("dp"))
+            ins = tuple(jax.device_put(a, sh)
+                        for a in (x0, refs, w, theta, gamma))
+        carry, outs = roll(*ins)                      # compile + warm
+        outs.x.block_until_ready()
+        t0 = time.perf_counter()
+        for _ in range(args.reps):
+            carry, outs = roll(*ins)
+        outs.x.block_until_ready()
+        dtm = (time.perf_counter() - t0) / args.reps
+        return B / dtm, np.asarray(outs.x)
+
+    thr = {}
+    xs = {}
+    for n in (1, 2, 8):
+        thr[n], xs[n] = run(n)
+        print(f"{n} virtual device(s): {thr[n]:,.0f} rollouts/s")
+
+    bitwise_2 = bool(np.array_equal(xs[1], xs[2]))
+    bitwise_8 = bool(np.array_equal(xs[1], xs[8]))
+    print(f"bitwise sharded==unsharded: 2dev {bitwise_2}  8dev {bitwise_8}")
+
+    overhead_ratio_8 = thr[8] / thr[1]
+    print(f"sharding-overhead ratio (8 virtual dev / unsharded): "
+          f"{overhead_ratio_8:.3f}")
+
+    import multiprocessing
+    result = {
+        "note": ("virtual 8-device CPU mesh on one host: measures XLA "
+                 "partitioner overhead + determinism, NOT hardware "
+                 "scaling (no multi-chip hardware on this rig); "
+                 "ratio ~1.0 = no partitioning overhead"),
+        "physical_cores": multiprocessing.cpu_count(),
+        "batch": B, "T": T,
+        "rollouts_per_s": {str(k): round(v, 1) for k, v in thr.items()},
+        "sharding_overhead_ratio_8dev": round(overhead_ratio_8, 4),
+        "bitwise_deterministic_2dev": bitwise_2,
+        "bitwise_deterministic_8dev": bitwise_8,
+        "solver_config": {"iters": cfg.iters, "iters2": cfg.iters2},
+        "dryrun": "see __graft_entry__.dryrun_multichip (shard_map+psum)",
+    }
+    out = os.path.join(_ROOT, f"MULTICHIP_r{args.round:02d}.json")
+    with open(out, "w") as f:
+        json.dump(result, f, indent=1)
+    print(f"wrote {out}")
+    ok = bitwise_2 and bitwise_8 and overhead_ratio_8 > 0.8
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
