@@ -186,6 +186,20 @@ def main():
     p99_step_device_ms = dev_step_s * 1e3   # median of reps; steps within
                                             # one scan are homogeneous
 
+    # (b2) harness floor: the cheapest possible dispatch (scalar add) —
+    # isolates the rig's RPC/framework round trip from anything this
+    # framework does.  On the tunnel rig this is ~the whole dispatch
+    # overhead; on locally-attached chips it is O(0.1 ms).
+    nop = jax.jit(lambda v: v + 1.0)
+    v0 = jnp.zeros(())
+    nop(v0).block_until_ready()
+    floor = []
+    for _ in range(20):
+        t0 = time.perf_counter()
+        nop(v0).block_until_ready()
+        floor.append(time.perf_counter() - t0)
+    rpc_floor_ms = float(np.median(floor) * 1e3)
+
     # (c) amortized throughput figure (NOT a latency): wall time of one
     # batched step (all BATCH instances advance together) — the number a
     # Monte-Carlo sweep experiences per step
@@ -201,6 +215,7 @@ def main():
         "p50_step_ms": round(p50_step_ms, 3),
         "step_device_ms": round(p99_step_device_ms, 3),
         "dispatch_overhead_ms": round(dispatch_s * 1e3, 3),
+        "rpc_floor_ms": round(rpc_floor_ms, 3),
         "batched_step_amortized_ms": round(step_amortized_ms, 3),
         "realtime_budget_ms": 20.0,
         "batch": BATCH,

@@ -44,7 +44,7 @@ from typing import Optional
 
 import numpy as np
 
-__all__ = ["QPTemplate", "build_mpc_qp"]
+__all__ = ["QPTemplate", "build_mpc_qp", "condense_template"]
 
 
 @dataclasses.dataclass
@@ -66,6 +66,12 @@ class QPTemplate:
     N: int
     tracking: bool
     ntheta: int
+    # Condensed form (``condense_template``): when set, this template's
+    # matrices live in the REDUCED variable space v = [x_0 | u | xbar|ubar]
+    # and ``S`` maps reduced -> full:  z_full = S @ v.  The index helpers
+    # (x_slice/u_slice/...) and ``solve_dense`` refer to the FULL layout
+    # and must not be used on a condensed template (solve_dense asserts).
+    S: Optional[np.ndarray] = None
 
     @property
     def n(self) -> int:
@@ -104,6 +110,9 @@ class QPTemplate:
         Convenience for tests and setup-time checks; returns the QPSolution
         plus the parameter vector used.
         """
+        assert self.S is None, \
+            "solve_dense targets the FULL-layout template; solve the " \
+            "uncondensed template instead"
         from ..utils.qp_ref import solve_qp_dense
         theta = np.zeros(self.ntheta)
         theta[:self.nx] = np.asarray(x_init).reshape(-1)

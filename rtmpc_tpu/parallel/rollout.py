@@ -274,6 +274,17 @@ def make_rollout_fn(
             pinf, dinf = infeasibility_certificates(
                 cert_spec, theta_qp, sol.state)
             cert_bad = jnp.logical_or(pinf, dinf)
+            if cfg.extended:
+                # certify the QP that was actually USED this step (the
+                # reference checks the selected problem's status —
+                # ``results_nonlinear_system_with_extendedMPC.py:324``)
+                cert_spec_pr = (arrays.admm2_pr if cfg.iters2 > 0
+                                else arrays.admm_pr)
+                pinf2, dinf2 = infeasibility_certificates(
+                    cert_spec_pr, theta_qp, sol_pr.state)
+                cert_bad = jnp.where(carry.prev_gamma == 1,
+                                     jnp.logical_or(pinf2, dinf2),
+                                     cert_bad)
         else:
             cert_bad = jnp.zeros((), bool)
         return post_solve(carry, inp, z, r_prim, r_dual,
@@ -361,6 +372,15 @@ def _make_pallas_batched_rollout(
                 lambda th, st: infeasibility_certificates(
                     cert_spec, th, st))(theta_b, sol.state)
             cert_bad = jnp.logical_or(pinf, dinf)
+            if cfg.extended:
+                cert_spec_pr = (arrays.admm2_pr if cfg.iters2 > 0
+                                else arrays.admm_pr)
+                pinf2, dinf2 = jax.vmap(
+                    lambda th, st: infeasibility_certificates(
+                        cert_spec_pr, th, st))(theta_b, sol_pr.state)
+                cert_bad = jnp.where(carry.prev_gamma == 1,
+                                     jnp.logical_or(pinf2, dinf2),
+                                     cert_bad)
         else:
             cert_bad = jnp.zeros(z.shape[0], bool)
         return jax.vmap(post_solve)(carry, inp, z, r_prim, r_dual,

@@ -130,6 +130,34 @@ def test_closed_loop_certificate_arm_stop(track_setup, engine):
     assert np.allclose(xs[t_fire], xs[-1]), "state must freeze once stopped"
 
 
+def test_extended_arm_certificate_stop():
+    """The nonlinear extended benchmark stops the EXTENDED tube arm on its
+    QP's infeasibility (``ext_tube_feasible``,
+    ``results_nonlinear_system_with_extendedMPC.py:324,374``).  The
+    engine's certificate path must certify the QP actually selected by the
+    previous gamma (normal vs packet-received) and freeze the element."""
+    from rtmpc_tpu.models.specs import setup_extended_tube_tracking
+    setup = setup_extended_tube_tracking(
+        A, B, Q, R, 10, X, U, box(np.array([0.05, 0.05])),
+        fixed_initial_state=False)
+    T = 30
+    arrays, cfg = setup.to_device(dtype=jnp.float64, iters=400)
+    refs, w, theta, gamma = _hostile_inputs(T)
+    fn = jax.jit(make_rollout_fn(arrays, cfg, T, actuator_mode="consistent",
+                                 infeas_mode="certificate"))
+    carry, outs = fn(jnp.zeros(NX), jnp.asarray(refs), jnp.asarray(w),
+                     jnp.asarray(theta, jnp.int32),
+                     jnp.asarray(gamma, jnp.int32))
+    assert not bool(carry.feasible), \
+        "extended arm must stop when its QP is certified infeasible"
+    # benign run stays feasible
+    refs_b, w_b, th_b, gm_b = _benign_inputs(T)
+    carry_b, _ = fn(jnp.zeros(NX), jnp.asarray(refs_b), jnp.asarray(w_b),
+                    jnp.asarray(th_b, jnp.int32),
+                    jnp.asarray(gm_b, jnp.int32))
+    assert bool(carry_b.feasible)
+
+
 def test_no_false_stop_without_certificate_mode(track_setup):
     """Default mode (infeas_mode=None) only freezes on non-finite iterates:
     the hostile scenario keeps 'running' (reference parity: only the arm
