@@ -59,21 +59,25 @@ def init_jax(args):
     return jax
 
 
-def solver_kwargs(args, ip_iters: int = 30, admm_iters: int = 400):
+def solver_kwargs(args, ip_iters: int = 30, admm_iters: int = 120):
     """``to_device`` solver arguments for the parsed app flags.
 
-    The ADMM path (TPU) runs 400 warm-started iterations and NO polish:
-    measured on TPU v5e (round 2), the f32 LU-based polish never improves
-    the iterate and costs ~1000x in the batched rollout; 400 iterations
-    give 1.1e-4 trajectory parity vs the f64 oracle (PARITY_TPU_r02).
-    Polish stays on for the f64 CPU path, where it reaches 1e-8-class KKT
-    residuals.
+    The ADMM path runs the round-3 two-phase rho schedule (60+60,
+    alpha=1.8, rho2=rho*0.2) validated on hardware by tools/tpu_checks.py
+    — 1.7e-4 flagship trajectory parity at ~2.3x the round-2 fixed-400
+    throughput (ACCURACY.md).  NO polish on TPU f32: measured, the f32
+    LU-based polish never improves the iterate and costs ~1000x; polish
+    stays on for the f64 CPU path, where it reaches 1e-8-class KKT
+    residuals.  ``--solver ip`` is the accuracy mode (Clarabel-class on
+    f64 CPU; Ruiz-scaled f32 on TPU).
     """
     if args.solver == "ip":
         return dict(solver="ip", ip_iters=ip_iters, polish=True)
-    if args.dtype == "float64":
-        return dict(solver=args.solver, iters=admm_iters, polish=True)
-    return dict(solver=args.solver, iters=admm_iters, polish=False)
+    sched = dict(solver=args.solver, iters=admm_iters // 2,
+                 iters2=admm_iters - admm_iters // 2, alpha=1.8,
+                 rho2_scale=0.2)
+    sched["polish"] = args.dtype == "float64"
+    return sched
 
 
 def check_tol(args) -> float:

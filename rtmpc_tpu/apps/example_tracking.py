@@ -26,7 +26,7 @@ def main(argv=None):
     setup = setup_tracking(A, B, np.eye(2), np.eye(1), N,
                            box(np.array([8.0, 8.0])), box(np.array([1.0])))
     arrays, cfg = setup.to_device(dtype=jnp.dtype(args.dtype),
-                                  **solver_kwargs(args))
+                                  **solver_kwargs(args, admm_iters=400))
     rollout = jax.jit(make_direct_rollout(arrays, cfg, T))
 
     refs = np.zeros((T, 2))

@@ -44,7 +44,7 @@ from ..utils.polytope import Polytope, pont_diff
 from ..utils.synthesis import dlqr, dlyap
 from ..sets.invariant import determine_mrpi, max_admissible_set, \
     tighten_constraints
-from ..ops.assembly import QPTemplate, build_mpc_qp
+from ..ops.assembly import QPTemplate, build_mpc_qp, condense_template
 from ..ops.qp import ADMMSpec, prepare_admm
 from ..ops.ip import IPSpec, prepare_ip
 
@@ -101,6 +101,7 @@ class MPCSetup:
                   iters: int = 100, iters2: int = 0,
                   rho2_scale: float = 0.1,
                   phase1_precision: Optional[str] = None,
+                  phase2_precision: Optional[str] = None,
                   rho="auto", polish: bool = False,
                   solver: str = "admm", ip_iters: int = 25,
                   probe_thetas: Optional[np.ndarray] = None,
@@ -109,6 +110,7 @@ class MPCSetup:
                   early_tol: Optional[float] = None,
                   early_dual_factor: float = 25.0,
                   check_every: int = 25,
+                  condensed: bool = False,
                   **admm_kw):
         """Freeze into (ControllerArrays, ControllerConfig) for the engine.
 
@@ -125,6 +127,14 @@ class MPCSetup:
         mode (CPU testing only).
         """
         tmpl = self.template
+        tmpl_pr = self.template_pr
+        if condensed:
+            # state-eliminated (strictly convex, dynamics-row-free)
+            # reformulation — see ``ops/assembly.py:condense_template``;
+            # solutions are recovered to the full layout via S in _solve
+            tmpl = condense_template(tmpl)
+            if tmpl_pr is not None:
+                tmpl_pr = condense_template(tmpl_pr)
         # tune rho at (roughly) the iteration budget the engine will use
         admm_kw.setdefault("tune_iters", max(100, min(iters + iters2, 600)))
         r2s = rho2_scale if iters2 > 0 else None
@@ -132,8 +142,8 @@ class MPCSetup:
                             probe_thetas=probe_thetas, rho2_scale=r2s,
                             **admm_kw)
         admm, admm2 = admm if iters2 > 0 else (admm, admm)
-        if self.template_pr is not None:
-            admm_pr = prepare_admm(self.template_pr, rho=rho, pad_to=pad_to,
+        if tmpl_pr is not None:
+            admm_pr = prepare_admm(tmpl_pr, rho=rho, pad_to=pad_to,
                                    dtype=dtype, probe_thetas=probe_thetas,
                                    rho2_scale=r2s, **admm_kw)
             admm_pr, admm2_pr = (admm_pr if iters2 > 0
@@ -141,8 +151,8 @@ class MPCSetup:
         else:
             admm_pr, admm2_pr = admm, admm2  # identical structure
         ip = prepare_ip(tmpl, pad_to=pad_to, dtype=dtype)
-        ip_pr = (prepare_ip(self.template_pr, pad_to=pad_to, dtype=dtype)
-                 if self.template_pr is not None else ip)
+        ip_pr = (prepare_ip(tmpl_pr, pad_to=pad_to, dtype=dtype)
+                 if tmpl_pr is not None else ip)
 
         nx, nu, N = self.nx, self.nu, self.N
         K = self.K if self.K is not None else np.zeros((nu, nx))
@@ -172,10 +182,15 @@ class MPCSetup:
             hz=jnp.asarray(hz_p, dtype),
             admm2=admm2,
             admm2_pr=admm2_pr,
+            S_rec=(jnp.asarray(tmpl.S, dtype) if condensed
+                   else jnp.zeros((0, 0), dtype)),
+            S_rec_pr=(jnp.asarray(tmpl_pr.S, dtype)
+                      if condensed and tmpl_pr is not None
+                      else jnp.zeros((0, 0), dtype)),
         )
         cfg = ControllerConfig(
             nx=nx, nu=nu, N=N,
-            n=tmpl.n,
+            n=self.template.n,        # FULL layout size (tmpl may be condensed)
             tracking=tmpl.tracking,
             extended=self.template_pr is not None,
             iters=iters,
@@ -192,6 +207,11 @@ class MPCSetup:
             early_dual_factor=early_dual_factor,
             check_every=check_every,
             phase1_precision=phase1_precision,
+            phase2_precision=phase2_precision,
+            condensed=condensed,
+            n_red=tmpl.n if condensed else 0,
+            n_red_pr=(tmpl_pr.n if condensed and tmpl_pr is not None
+                      else 0),
         )
         return arrays, cfg
 
@@ -214,6 +234,10 @@ class ControllerArrays(NamedTuple):
     # stable.
     admm2: ADMMSpec = None
     admm2_pr: ADMMSpec = None
+    # Condensed-form recovery: z_full = S_rec @ v_red (empty (0,0) array
+    # when cfg.condensed is False — pytree-stable placeholder)
+    S_rec: jax.Array = None
+    S_rec_pr: jax.Array = None
 
 
 @dataclasses.dataclass(frozen=True)
@@ -243,9 +267,18 @@ class ControllerConfig:
     # Two-phase rho schedule: phase-2 iteration count (0 = disabled);
     # phase 2 runs on arrays.admm2 (rho scaled by to_device's rho2_scale).
     iters2: int = 0
-    # matmul-precision override for PHASE 1 only ("default" = single-pass
-    # bf16; phase 2 repairs the iterate at the solve-path precision)
+    # matmul-precision overrides per schedule phase (None = the solve-path
+    # precision).  Phase-1 "default" (single-pass bf16) DIVERGES under
+    # vmap (see tpu_checks 2b); phase-2 "highest" (exact f32) tightens the
+    # batched parity for ~25% extra phase-2 cost.
     phase1_precision: Optional[str] = None
+    phase2_precision: Optional[str] = None
+    # Condensed (state-eliminated) solving: solvers run in the reduced
+    # space (n_red unpadded reduced vars); _solve maps back to the full
+    # layout via arrays.S_rec so all packet/extraction offsets hold.
+    condensed: bool = False
+    n_red: int = 0
+    n_red_pr: int = 0
 
 
 # ---------------------------------------------------------------------------

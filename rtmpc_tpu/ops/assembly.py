@@ -332,3 +332,83 @@ def build_mpc_qp(
         is_eq=np.concatenate(rows_eq),
         nx=nx, nu=nu, N=N, tracking=tracking, ntheta=ntheta,
     )
+
+
+def condense_template(t: QPTemplate) -> QPTemplate:
+    """Eliminate the states x_1..x_N through the dynamics equalities.
+
+    Returns an EQUIVALENT template over the reduced variables
+    ``v = [x_0 | u_0..u_{N-1} | xbar | ubar]`` with ``z_full = S @ v``
+    (``S`` stored on the returned template).  x_0 stays a variable so both
+    initial-state modes keep their template parametrization (the
+    ``x_0 = x_init`` equality row or the initial-tube rows map through S
+    unchanged).
+
+    Why this exists (measured, round 3): the sparse form's quadratic cost
+    is structurally singular (cond ~ 1e20 after Ruiz on the cartpole) and
+    its 80+ dynamics equality rows carry rho_eq ~ 1e3 stiffness — the
+    ADMM's dual residual plateaus ~1e-1 on the 4-D N=20 cartpole at any
+    practical iteration count.  Condensing removes every dynamics row and
+    yields a cost that is positive definite in (x_0, u), restoring linear
+    convergence; it also shrinks the per-iteration matmuls
+    (109 vars/792 rows -> 30 vars/712 rows on the cartpole).
+
+    The reference's CVXPY models are sparse-form
+    (``TrackingMPC.py:88-93``); condensing is a pure reformulation — the
+    FULL template remains the test oracle and the recovered ``S @ v*``
+    must match its solution.
+    """
+    nx, nu, N = t.nx, t.nu, t.N
+    n_full = t.n
+    ndyn = N * nx
+
+    # the builder emits the dynamics equalities first; verify rather than
+    # trust (guards against reordered future templates)
+    assert bool(t.is_eq[:ndyn].all()), "dynamics rows must lead"
+    assert not t.Ml[:ndyn].any() and not t.Mu[:ndyn].any()
+    assert not t.l0[:ndyn].any() and not t.u0[:ndyn].any()
+
+    # reduced layout
+    n_red = nx + N * nu + ((nx + nu) if t.tracking else 0)
+
+    # S: z_full = S v,   x_k = A^k x_0 + sum_{j<k} A^(k-1-j) B u_j
+    # recover A, B from the first dynamics row block:
+    #   row block i: x_{i+1} - A x_i - B u_i = 0
+    A = -t.A[:nx, t.x_slice(0)]
+    B = -t.A[:nx, t.u_slice(0)]
+    S = np.zeros((n_full, n_red))
+    u_off_red = nx
+    xb_off_red = nx + N * nu
+    Apow = [np.eye(nx)]
+    for _ in range(N):
+        Apow.append(A @ Apow[-1])
+    for k in range(N + 1):
+        S[t.x_slice(k), :nx] = Apow[k]
+        for j in range(k):
+            S[t.x_slice(k),
+              u_off_red + j * nu:u_off_red + (j + 1) * nu] = \
+                Apow[k - 1 - j] @ B
+    for j in range(N):
+        S[t.u_slice(j), u_off_red + j * nu:u_off_red + (j + 1) * nu] = \
+            np.eye(nu)
+    if t.tracking:
+        S[t.xbar_slice, xb_off_red:xb_off_red + nx] = np.eye(nx)
+        S[t.ubar_slice, xb_off_red + nx:xb_off_red + nx + nu] = np.eye(nu)
+
+    # dynamics rows vanish exactly under S
+    assert np.abs(t.A[:ndyn] @ S).max() < 1e-9
+
+    keep = np.ones(t.m, bool)
+    keep[:ndyn] = False
+    return QPTemplate(
+        P=S.T @ t.P @ S,
+        q0=S.T @ t.q0,
+        Mq=S.T @ t.Mq,
+        A=t.A[keep] @ S,
+        l0=t.l0[keep], Ml=t.Ml[keep],
+        u0=t.u0[keep], Mu=t.Mu[keep],
+        is_eq=t.is_eq[keep],
+        nx=nx, nu=nu, N=N, tracking=t.tracking, ntheta=t.ntheta,
+        S=S,
+    )
+

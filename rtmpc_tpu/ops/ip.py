@@ -37,7 +37,12 @@ __all__ = ["IPSpec", "prepare_ip", "ip_solve", "IPSolution"]
 
 
 class IPSpec(NamedTuple):
-    """Device pytree of the parametrized IP problem (unscaled, padded)."""
+    """Device pytree of the parametrized IP problem (Ruiz-scaled, padded).
+
+    ``Dscale`` is the primal unscaling diagonal (z_template = Dscale * x);
+    in f64 the scaling is numerically optional, in f32 it is what keeps
+    the per-iteration LU factorizations near unit scale (unscaled, the
+    cartpole's ~2e5 objective scale explodes the f32 duals — measured)."""
     P: jax.Array        # (n_p, n_p)
     q0: jax.Array       # (n_p,)
     Mq: jax.Array       # (n_p, ntheta)
@@ -51,6 +56,7 @@ class IPSpec(NamedTuple):
     Mup: jax.Array      # (mi_p, ntheta)
     has_lo: jax.Array   # (mi_p,) 0/1 — finite lower bound
     has_up: jax.Array   # (mi_p,) 0/1 — finite upper bound
+    Dscale: jax.Array   # (n_p,) primal unscaling diagonal
 
 
 class IPSolution(NamedTuple):
@@ -65,14 +71,34 @@ def _rup(v, k):
 
 
 def prepare_ip(template: QPTemplate, pad_to: int = 8,
-               dtype=jnp.float32) -> IPSpec:
-    """Split template rows into equality/inequality blocks, pad, cast."""
+               dtype=jnp.float32, equilibrate: bool = True) -> IPSpec:
+    """Split template rows into equality/inequality blocks, Ruiz-scale,
+    pad, cast."""
+    from .qp import _ruiz_equilibrate
+    if equilibrate:
+        qc = (np.column_stack([template.q0.reshape(-1, 1), template.Mq])
+              if template.Mq.size else template.q0.reshape(-1, 1))
+        Ps, As, Dv, Ev, c = _ruiz_equilibrate(template.P, template.A, qc)
+    else:
+        Ps, As = template.P, template.A
+        Dv = np.ones(template.n)
+        Ev = np.ones(template.m)
+        c = 1.0
+    q0_s = c * Dv * template.q0
+    Mq_s = c * Dv[:, None] * template.Mq
+    fin_l = np.isfinite(template.l0)
+    fin_u = np.isfinite(template.u0)
+    l0_s = np.where(fin_l, Ev * template.l0, -np.inf)
+    u0_s = np.where(fin_u, Ev * template.u0, np.inf)
+    Ml_s = Ev[:, None] * template.Ml
+    Mu_s = Ev[:, None] * template.Mu
+
     eq = template.is_eq
     ineq = ~eq
-    Ae, Ai = template.A[eq], template.A[ineq]
-    b0, Mb = template.u0[eq], template.Mu[eq]
-    lo0, Mlo = template.l0[ineq], template.Ml[ineq]
-    up0, Mup = template.u0[ineq], template.Mu[ineq]
+    Ae, Ai = As[eq], As[ineq]
+    b0, Mb = u0_s[eq], Mu_s[eq]
+    lo0, Mlo = l0_s[ineq], Ml_s[ineq]
+    up0, Mup = u0_s[ineq], Mu_s[ineq]
     has_lo = np.isfinite(lo0).astype(np.float64)
     has_up = np.isfinite(up0).astype(np.float64)
     lo0 = np.where(np.isfinite(lo0), lo0, 0.0)
@@ -98,7 +124,7 @@ def prepare_ip(template: QPTemplate, pad_to: int = 8,
         out[:v.shape[0]] = v
         return out
 
-    P_p = padm(template.P, n_p, n_p)
+    P_p = padm(Ps, n_p, n_p)
     np.fill_diagonal(P_p[n:, n:], 1.0)   # benign padding block
     # padded equality rows: 0 = 0 (Ae rows zero, b zero) — but the KKT
     # factorization needs full row rank; give padded rows a unit column on
@@ -110,8 +136,8 @@ def prepare_ip(template: QPTemplate, pad_to: int = 8,
 
     return IPSpec(
         P=jnp.asarray(P_p, dtype),
-        q0=jnp.asarray(padv(template.q0, n_p), dtype),
-        Mq=jnp.asarray(padm(template.Mq, n_p, nt), dtype),
+        q0=jnp.asarray(padv(q0_s, n_p), dtype),
+        Mq=jnp.asarray(padm(Mq_s, n_p, nt), dtype),
         Ae=jnp.asarray(Ae_p, dtype),
         b0=jnp.asarray(padv(b0, me_p), dtype),
         Mb=jnp.asarray(padm(Mb, me_p, nt), dtype),
@@ -122,6 +148,7 @@ def prepare_ip(template: QPTemplate, pad_to: int = 8,
         Mup=jnp.asarray(padm(Mup, mi_p, nt), dtype),
         has_lo=jnp.asarray(padv(has_lo, mi_p, fill=1.0), dtype),
         has_up=jnp.asarray(padv(has_up, mi_p, fill=1.0), dtype),
+        Dscale=jnp.asarray(padv(Dv, n_p, fill=1.0), dtype),
     )
 
 
@@ -171,8 +198,13 @@ def ip_solve(spec: IPSpec, theta: jax.Array, iters: int = 25) -> IPSolution:
         ratios = jnp.where(neg, -v / jnp.where(neg, dv, -1.0), 1.0)
         return jnp.minimum(1.0, jnp.min(ratios))
 
+    # freeze threshold: f64 can drive mu to ~1e-13 before the lam/s ratios
+    # poison the factorization; f32's usable barrier floor is ~1e-6 —
+    # pushing past it explodes the duals (measured: rd ~ 2e6 on the
+    # condensed cartpole with the old 1e-12 threshold) without improving
+    # the primal
     stop_mu = jnp.asarray(100.0, dt) * eps * eps if dt == jnp.float64 \
-        else jnp.asarray(1e-12, dt)
+        else jnp.asarray(1e-6, dt)
 
     def body(_, st):
         x, y, su, sl, lu_, ll_ = st
@@ -256,4 +288,5 @@ def ip_solve(spec: IPSpec, theta: jax.Array, iters: int = 25) -> IPSolution:
         mm(spec.P, x) + q + mm(spec.Ae.T, y)
         + mm(spec.Ai.T, hu * lu_ - hl * ll_)))
     gap = (jnp.sum(hu * su * lu_) + jnp.sum(hl * sl * ll_)) / n_active
-    return IPSolution(z_primal=x, r_prim=r_prim, r_dual=r_dual, gap=gap)
+    return IPSolution(z_primal=spec.Dscale * x, r_prim=r_prim,
+                      r_dual=r_dual, gap=gap)

@@ -108,16 +108,30 @@ def _extract_packet(arrays: ControllerArrays, cfg: ControllerConfig, z):
     return U_t, x_nom0, xbar
 
 
+def _recover(arrays, cfg, sol, pr=False):
+    """Condensed-form recovery: map the reduced-space primal back to the
+    full variable layout (z_full = S_rec @ v) so every downstream offset
+    (u_off, xbar_off, x_nom0) keeps working."""
+    if not cfg.condensed:
+        return sol
+    S = arrays.S_rec_pr if (pr and cfg.extended) else arrays.S_rec
+    n_red = cfg.n_red_pr if (pr and cfg.extended) else cfg.n_red
+    z_full = mm(S, sol.z_primal[..., :n_red])
+    return sol._replace(z_primal=z_full)
+
+
 def _solve(arrays, cfg, theta_qp, warm_state, pr=False):
     """Dispatch to the configured QP solver, returning an ADMMSolution-like
-    object (z_primal, state, r_prim, r_dual).  The IP path ignores (and
-    passes through) the warm-start state."""
+    object (z_primal, state, r_prim, r_dual) with z_primal in the FULL
+    variable layout.  The IP path ignores (and passes through) the
+    warm-start state."""
     if cfg.solver == "ip":
         spec = arrays.ip_pr if pr else arrays.ip
         sol = ip_solve(spec, theta_qp, iters=cfg.ip_iters)
         from ..ops.qp import ADMMSolution
-        return ADMMSolution(z_primal=sol.z_primal, state=warm_state,
-                            r_prim=sol.r_prim, r_dual=sol.r_dual)
+        sol = ADMMSolution(z_primal=sol.z_primal, state=warm_state,
+                           r_prim=sol.r_prim, r_dual=sol.r_dual)
+        return _recover(arrays, cfg, sol, pr)
     # "admm" and (per-element fallback) "pallas" — identical iteration
     spec = arrays.admm_pr if pr else arrays.admm
     if cfg.iters2 > 0:
@@ -126,16 +140,19 @@ def _solve(arrays, cfg, theta_qp, warm_state, pr=False):
         sol1 = admm_solve(spec, theta_qp, warm_state, iters=cfg.iters,
                           precision=cfg.phase1_precision)
         spec2 = arrays.admm2_pr if pr else arrays.admm2
-        return admm_solve(spec2, theta_qp, sol1.state,
-                          iters=cfg.iters2, polish=cfg.polish,
-                          early_tol=cfg.early_tol,
-                          early_dual_factor=cfg.early_dual_factor,
-                          check_every=cfg.check_every)
-    return admm_solve(spec, theta_qp, warm_state,
-                      iters=cfg.iters, polish=cfg.polish,
-                      early_tol=cfg.early_tol,
-                      early_dual_factor=cfg.early_dual_factor,
-                      check_every=cfg.check_every)
+        sol = admm_solve(spec2, theta_qp, sol1.state,
+                         iters=cfg.iters2, polish=cfg.polish,
+                         early_tol=cfg.early_tol,
+                         early_dual_factor=cfg.early_dual_factor,
+                         check_every=cfg.check_every,
+                         precision=cfg.phase2_precision)
+        return _recover(arrays, cfg, sol, pr)
+    sol = admm_solve(spec, theta_qp, warm_state,
+                     iters=cfg.iters, polish=cfg.polish,
+                     early_tol=cfg.early_tol,
+                     early_dual_factor=cfg.early_dual_factor,
+                     check_every=cfg.check_every)
+    return _recover(arrays, cfg, sol, pr)
 
 
 def _select_extended(cfg, carry, sol, sol_pr):
@@ -325,7 +342,7 @@ def _make_pallas_batched_rollout(
                                   robust_estimator, plant_step,
                                   infeas_persist)
 
-    def solve_b(spec, spec2, theta_b, state_b):
+    def solve_b(spec, spec2, theta_b, state_b, pr=False):
         sol = admm_solve_pallas(spec, theta_b, state_b, iters=cfg.iters,
                                 block_b=cfg.pallas_block,
                                 interpret=cfg.pallas_interpret)
@@ -347,6 +364,11 @@ def _make_pallas_batched_rollout(
             zp, rp, rd = jax.vmap(polish_one)(
                 theta_b, sol.state, sol.r_prim, sol.r_dual)
             sol = sol._replace(z_primal=zp, r_prim=rp, r_dual=rd)
+        if cfg.condensed:
+            S = arrays.S_rec_pr if (pr and cfg.extended) else arrays.S_rec
+            n_red = cfg.n_red_pr if (pr and cfg.extended) else cfg.n_red
+            sol = sol._replace(
+                z_primal=mm(sol.z_primal[:, :n_red], S.T))
         return sol
 
     # _select_extended works elementwise on batched leaves except for the
@@ -357,7 +379,7 @@ def _make_pallas_batched_rollout(
         sol = solve_b(arrays.admm, arrays.admm2, theta_b, carry.admm)
         if cfg.extended:
             sol_pr = solve_b(arrays.admm_pr, arrays.admm2_pr, theta_b,
-                             carry.admm_pr)
+                             carry.admm_pr, pr=True)
             use_pr = (carry.prev_gamma == 1)
             z = jnp.where(use_pr[:, None], sol_pr.z_primal, sol.z_primal)
             r_prim = jnp.where(use_pr, sol_pr.r_prim, sol.r_prim)

@@ -79,6 +79,17 @@ def main():
         terr = float(np.max(np.abs(np.asarray(o1.x) - oracle["x"])))
 
         roll = jax.jit(make_batched_rollout(arrays, cfg, T))
+        # batched parity (the binding gate constraint: MXU arithmetic
+        # differs from the per-element VPU path — tpu_checks section 2b)
+        Bb = 64
+        rep = lambda a, dt2: jnp.broadcast_to(
+            jnp.asarray(a, dt2), (Bb,) + np.asarray(a).shape)
+        rollb = jax.jit(make_batched_rollout(arrays, cfg, T))
+        cb, ob = rollb(rep(x01, jnp.float32), rep(refs1, jnp.float32),
+                       rep(w1, jnp.float32), rep(theta1, jnp.int32),
+                       rep(gamma1, jnp.int32))
+        berr = float(np.max(np.abs(np.asarray(ob.x) - oracle["x"][None])))
+
         c, o = roll(x0B, refsB, wB, thetaB, gammaB)
         o.x.block_until_ready()
         t0 = time.perf_counter()
@@ -88,7 +99,7 @@ def main():
         dt = (time.perf_counter() - t0) / 3
         tot = kw["iters"] + kw.get("iters2", 0)
         print(f"{label:14s} tot={tot:3d} traj_err={terr:.2e} "
-              f"rollouts/s={BATCH/dt:,.0f}")
+              f"batched_err={berr:.2e} rollouts/s={BATCH/dt:,.0f}")
 
 
 if __name__ == "__main__":
