@@ -90,7 +90,9 @@ def main():
     # for the conservative full-f32 path
     set_matmul_precision(os.environ.get("BENCH_PRECISION", "high"))
 
-    BATCH = int(os.environ.get("BENCH_BATCH", 4096))
+    # batch sweep on v5e (round 3): 4096 -> 43.0k, 8192 -> 43.9k,
+    # 16384 -> 48.4k, 32768 -> 47.9k rollouts/s; 16384 saturates the chip
+    BATCH = int(os.environ.get("BENCH_BATCH", 16384))
     T = int(os.environ.get("BENCH_T", 120))
     ITERS = int(os.environ.get("BENCH_ITERS", DEFAULT_ITERS))
     ITERS2 = int(os.environ.get("BENCH_ITERS2", DEFAULT_ITERS2))

@@ -51,9 +51,9 @@ def main(argv=None):
 
     dtype = jnp.dtype(args.dtype)
     arrays_tube, cfg_tube = tube.to_device(dtype=dtype,
-                                           **solver_kwargs(args))
+                                           **solver_kwargs(args, admm_iters=400))
     arrays_track, cfg_track = track.to_device(dtype=dtype,
-                                              **solver_kwargs(args))
+                                              **solver_kwargs(args, admm_iters=400))
 
     refs = np.zeros((T, 4))
     refs[:, 0] = sc.ref_value

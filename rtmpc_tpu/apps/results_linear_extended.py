@@ -48,11 +48,11 @@ def main(argv=None):
 
     dtype = jnp.dtype(args.dtype)
     arms = {
-        "RT-MPC": (tube.to_device(dtype=dtype, **solver_kwargs(args)),
+        "RT-MPC": (tube.to_device(dtype=dtype, **solver_kwargs(args, admm_iters=400)),
                    "consistent", None),
         "Ext-RT-MPC": (ext.to_device(dtype=dtype,
-                                     **solver_kwargs(args)), "consistent", None),
-        "R-MPC": (track.to_device(dtype=dtype, **solver_kwargs(args)),
+                                     **solver_kwargs(args, admm_iters=400)), "consistent", None),
+        "R-MPC": (track.to_device(dtype=dtype, **solver_kwargs(args, admm_iters=400)),
                   "smart", "certificate"),
     }
 

@@ -85,7 +85,7 @@ def main(argv=None):
     # is all zeros and the plant step takes only (x, u)).
     for name, (setup, mode, im) in setups.items():
         arrays, cfg = setup.to_device(dtype=dtype,
-                                      **solver_kwargs(args))
+                                      **solver_kwargs(args, admm_iters=400))
         results[name] = run_mc_sweep(
             arrays, cfg, T=T, n_mc=n_mc, loss_probs=probs, refs=refs,
             x0=sc.x0, w_lo=np.zeros(4), w_hi=np.zeros(4), key=key,

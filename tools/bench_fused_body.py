@@ -57,6 +57,31 @@ def fused_solve(spec, theta, state, iters):
     return state
 
 
+def depth2_solve(spec, theta, state, iters, KA):
+    """Same FLOPs as the current body, dependency depth 2 instead of 3:
+    xt = (sigma Kinv) x + KA s - Kq  with  KA = Kinv As' precomputed;
+    the x- and s-matmuls are independent."""
+    theta = theta.astype(spec.q0.dtype)
+    q = spec.q0 + mm(spec.Mq, theta)
+    l = spec.l0 + mm(spec.Ml, theta)
+    u = spec.u0 + mm(spec.Mu, theta)
+    Kq = mm(spec.Kinv, q)
+    sigma, alpha = spec.sigma, spec.alpha
+
+    def body(_, s_):
+        x, y, z = s_
+        s = spec.rho * z - y
+        xt = sigma * mm(spec.Kinv, x) + mm(KA, s) - Kq
+        zt = mm(spec.As, xt)
+        x_new = alpha * xt + (1.0 - alpha) * x
+        z_mix = alpha * zt + (1.0 - alpha) * z
+        z_new = jnp.clip(z_mix + y * spec.rho_inv, l, u)
+        y_new = y + spec.rho * (z_mix - z_new)
+        return ADMMState(x_new, y_new, z_new)
+
+    return jax.lax.fori_loop(0, iters, body, state)
+
+
 def main():
     B = int(sys.argv[1]) if len(sys.argv) > 1 else 4096
     ITERS = int(sys.argv[2]) if len(sys.argv) > 2 else 120
@@ -94,8 +119,19 @@ def main():
         st0 = jax.vmap(lambda _: init_admm_state(spec))(jnp.arange(B))
         return jax.lax.scan(step, st0, ths)
 
+    KA = mm(spec.Kinv, spec.As.T)
+
+    def scan_depth2(ths):
+        def step(st, th):
+            st = jax.vmap(lambda t, s: depth2_solve(spec, t, s, ITERS, KA)
+                          )(th, st)
+            return st, spec.D * st.x
+        st0 = jax.vmap(lambda _: init_admm_state(spec))(jnp.arange(B))
+        return jax.lax.scan(step, st0, ths)
+
     out = {}
-    for name, fn in (("current", scan_current), ("fused", scan_fused)):
+    for name, fn in (("current", scan_current), ("fused", scan_fused),
+                     ("depth2", scan_depth2)):
         f = jax.jit(fn)
         _, zs = f(thetas)
         zs.block_until_ready()
