@@ -150,10 +150,10 @@ def main(argv=None):
                           range(len(probs))], positions=pos - 0.35,
                          widths=0.6, patch_artist=True, sym="x",
                          boxprops=dict(facecolor="C0"))
-        track_filtered = [res_track.tracking_error[i][
-            ~np.isnan(res_track.tracking_error[i])] or [np.nan]
-            if isinstance(res_track.tracking_error[i], list)
-            else res_track.tracking_error[i][
+        # drop NaN (infeasible) runs like the reference's filtering
+        # (``results_linear_system.py:334-339``); all-NaN becomes [nan]
+        track_filtered = [
+            res_track.tracking_error[i][
                 ~np.isnan(res_track.tracking_error[i])]
             for i in range(len(probs))]
         track_filtered = [t if t.size else np.array([np.nan])

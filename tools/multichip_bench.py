@@ -96,9 +96,12 @@ def main():
     bitwise_8 = bool(np.array_equal(xs[1], xs[8]))
     print(f"bitwise sharded==unsharded: 2dev {bitwise_2}  8dev {bitwise_8}")
 
-    overhead_ratio_8 = thr[8] / thr[1]
-    print(f"sharding-overhead ratio (8 virtual dev / unsharded): "
-          f"{overhead_ratio_8:.3f}")
+    # throughput with the batch sharded over 8 virtual devices relative to
+    # the unsharded run on the SAME host (>1 = the partitioned executable
+    # is faster here, e.g. by using more cores; ~1 = no partitioner cost)
+    speedup_8 = thr[8] / thr[1]
+    print(f"sharded-vs-unsharded throughput ratio (8 virtual dev): "
+          f"{speedup_8:.3f}")
 
     import multiprocessing
     result = {
@@ -109,7 +112,7 @@ def main():
         "physical_cores": multiprocessing.cpu_count(),
         "batch": B, "T": T,
         "rollouts_per_s": {str(k): round(v, 1) for k, v in thr.items()},
-        "sharding_overhead_ratio_8dev": round(overhead_ratio_8, 4),
+        "sharded_vs_unsharded_throughput_ratio_8dev": round(speedup_8, 4),
         "bitwise_deterministic_2dev": bitwise_2,
         "bitwise_deterministic_8dev": bitwise_8,
         "solver_config": {"iters": cfg.iters, "iters2": cfg.iters2},
@@ -119,7 +122,7 @@ def main():
     with open(out, "w") as f:
         json.dump(result, f, indent=1)
     print(f"wrote {out}")
-    ok = bitwise_2 and bitwise_8 and overhead_ratio_8 > 0.8
+    ok = bitwise_2 and bitwise_8 and speedup_8 > 0.8
     return 0 if ok else 1
 
 
