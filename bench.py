@@ -165,6 +165,17 @@ def main():
     rollouts_per_s = BATCH / dt_total
     qp_solves_per_s = rollouts_per_s * T
 
+    # --- roofline / MFU accounting (model + measured wall time) ----------
+    # FLOPs/bytes are exactly computable from the padded problem geometry
+    # (parallel/roofline.py); the summary names the binding resource.
+    from rtmpc_tpu.parallel.roofline import (admm_engine_model,
+                                             device_peaks, roofline_summary)
+    n_p = int(arrays.admm.Kinv.shape[0])
+    m_p = int(arrays.admm.As.shape[0])
+    ntheta = int(arrays.admm.Mq.shape[1])
+    model = admm_engine_model(n_p, m_p, ntheta, ITERS + ITERS2, T, BATCH)
+    roof = roofline_summary(model, dt_total, device_peaks(jax.devices()[0]))
+
     # --- latency, three honest granularities -----------------------------
     # compile each scan executable ONCE and share it across measurements
     # (remote compiles dominate wall time on a tunnel rig)
@@ -235,6 +246,7 @@ def main():
         "feasible_frac": feasible_frac,
         "device": str(jax.devices()[0]),
         "n_devices": len(jax.devices()),
+        **roof,
     }
     print(json.dumps(result))
 

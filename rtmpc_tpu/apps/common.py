@@ -40,11 +40,19 @@ def make_parser(description: str) -> argparse.ArgumentParser:
     return p
 
 
-def init_jax(args):
+def init_jax(args, tpu_default_solver: str = "admm"):
     """Apply the platform override BEFORE any computation.
 
     Env vars are not enough on this image (sitecustomize pre-imports jax),
     hence the config update.  float64 requires the CPU backend.
+
+    ``tpu_default_solver``: what ``--solver`` defaults to on an
+    accelerator backend (CPU always defaults to the f64 interior point).
+    The cartpole Results apps pass "ip": on their 4-D N=20 geometry the
+    ADMM plateaus at ~1e-2 residuals (ACCURACY.md) while the Ruiz-scaled
+    f32 IP reproduces the f64 truth to ~2e-2 trajectory / <2% MC-statistic
+    agreement at ~230 solves/s — reference-grade accuracy is the default,
+    ``--solver admm`` is the opt-in throughput mode there.
     """
     import jax
     if args.platform:
@@ -55,7 +63,8 @@ def init_jax(args):
     if args.dtype == "float64":
         jax.config.update("jax_enable_x64", True)
     if args.solver is None:
-        args.solver = "ip" if jax.default_backend() == "cpu" else "admm"
+        args.solver = ("ip" if jax.default_backend() == "cpu"
+                       else tpu_default_solver)
     return jax
 
 
@@ -105,6 +114,56 @@ def check(name: str, ok: bool, detail: str = "") -> bool:
     print(f"[{'PASS' if ok else 'FAIL'}] {name}" +
           (f" — {detail}" if detail else ""))
     return bool(ok)
+
+
+def solvetime_hist_figure(stats_by_label: dict, name: str,
+                          enabled: bool = True):
+    """The reference's solve-time histogram figure (Fig. 3d,
+    ``results_linear_system.py:397-404``; dual-histogram variant
+    ``results_linear_system_with_extendedMPC.py:409-431``): per-step
+    solve times clipped into the 2.5–20 ms bins.
+
+    ``stats_by_label``: {arm label: ``latency_report`` stats dict}.
+    """
+    if not enabled:
+        return None
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    fig, ax = plt.subplots(figsize=(7, 4))
+    n = max(len(stats_by_label), 1)
+    for i, (label, st) in enumerate(stats_by_label.items()):
+        edges = np.asarray(st["hist_bins_ms"], float)
+        counts = np.asarray(st["hist_counts"], float)
+        wbin = (edges[1] - edges[0]) / (n + 0.5)
+        ax.bar(edges[:-1] + i * wbin, counts, width=wbin, align="edge",
+               label=label)
+    ax.set_xlabel("Computational time [ms] (clipped to 2.5-20 ms bins)")
+    ax.set_ylabel("Occurrences")
+    ax.set_title("Per-step solve time (dispatch-inclusive)")
+    if len(stats_by_label) > 1:
+        ax.legend()
+    return savefig(fig, name, enabled)
+
+
+def save_summary_json(path, payload: dict):
+    """Record the app's headline rows machine-readably (evidence for
+    cross-backend comparison by ``tools/release_gate.py``)."""
+    if not path:
+        return None
+    import json
+
+    def _default(o):
+        if isinstance(o, np.ndarray):
+            return o.tolist()
+        if isinstance(o, (np.floating, np.integer)):
+            return o.item()
+        return str(o)
+
+    with open(path, "w") as f:
+        json.dump(payload, f, indent=1, default=_default)
+    print(f"[json] {path}")
+    return path
 
 
 # solve-time reporting lives in rtmpc_tpu.parallel.latency: real per-step

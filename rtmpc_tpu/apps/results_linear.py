@@ -12,7 +12,9 @@ import time
 
 import numpy as np
 
-from .common import solver_kwargs, check, init_jax, make_parser, savefig
+from .common import (check, init_jax, make_parser, savefig,
+                     save_summary_json, solver_kwargs,
+                     solvetime_hist_figure)
 from .scenarios import cartpole_scenario
 
 
@@ -24,8 +26,15 @@ def main(argv=None):
                         help="npz path for per-chunk sweep checkpointing; "
                              "re-run with the same path to resume")
     parser.add_argument("--n-chunks", type=int, default=1)
+    parser.add_argument("--save-json", default=None,
+                        help="write the per-p mean-RMS rows + solver config "
+                             "to this path (machine-readable evidence)")
     args = parser.parse_args(argv)
-    jax = init_jax(args)
+    # reference-grade accuracy by default on every backend: the f32
+    # Ruiz-scaled interior point is the only TPU solver that reproduces
+    # the f64 truth on this 4-D geometry (ACCURACY.md); --solver admm
+    # remains the opt-in throughput mode
+    jax = init_jax(args, tpu_default_solver="ip")
     import jax.numpy as jnp
     from ..models import setup_tracking, setup_tube_tracking
     from ..models.cache import cached_setup
@@ -98,16 +107,30 @@ def main(argv=None):
     lat = measure_step_latencies(arrays_tube, cfg_tube, refs, w_l,
                                  th_l, gm_l, x0=sc.x0)
     stats = latency_report(lat, "per-step, dispatch-inclusive, RT-MPC")
-    del stats
+    # the reference's Fig. 3d histogram figure
+    # (``results_linear_system.py:397-404``)
+    solvetime_hist_figure({"RT-MPC": stats},
+                          "results_linear_solvetime_hist.png",
+                          enabled=not args.no_figures)
 
     print("\nTracking-error summary (mean RMS per loss probability):")
     print("  p     RT-MPC (tube)   R-MPC (track)   track infeasible")
+    rows = []
     for i, p in enumerate(probs):
         te_tube = np.nanmean(res_tube.tracking_error[i])
         tr = res_track.tracking_error[i]
         te_track = np.nanmean(tr) if not np.all(np.isnan(tr)) else np.nan
+        rows.append({"p": float(p), "rms_tube": float(te_tube),
+                     "rms_track": float(te_track),
+                     "track_infeasible":
+                         int(res_track.infeasible_counts[i])})
         print(f"  {p:.1f}   {te_tube:12.5f} {te_track:15.5f} "
               f"{int(res_track.infeasible_counts[i]):8d}/{n_mc}")
+    save_summary_json(args.save_json, {
+        "app": "results_linear", "solver": args.solver,
+        "dtype": args.dtype, "backend": jax.default_backend(),
+        "n_mc": n_mc, "T": T, "seed": args.seed, "rows": rows,
+        "solve_time_stats": stats})
 
     ok = check("tube arm always feasible", bool(res_tube.feasible.all()))
     # errors stay bounded and same order across loss probabilities (the

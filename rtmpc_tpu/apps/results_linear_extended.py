@@ -10,7 +10,9 @@ import time
 
 import numpy as np
 
-from .common import solver_kwargs, check, init_jax, make_parser, savefig
+from .common import (check, init_jax, make_parser, savefig,
+                     save_summary_json, solver_kwargs,
+                     solvetime_hist_figure)
 from .scenarios import cartpole_scenario
 
 
@@ -18,8 +20,11 @@ def main(argv=None):
     parser = make_parser(__doc__)
     parser.add_argument("--n-mc", type=int, default=20)
     parser.add_argument("--no-cache", action="store_true")
+    parser.add_argument("--save-json", default=None,
+                        help="write the per-p mean-RMS rows + solver "
+                             "config to this path")
     args = parser.parse_args(argv)
-    jax = init_jax(args)
+    jax = init_jax(args, tpu_default_solver="ip")
     import jax.numpy as jnp
     from ..models import (setup_extended_tube_tracking, setup_tracking,
                           setup_tube_tracking)
@@ -71,11 +76,46 @@ def main(argv=None):
     print("\nMean RMS tracking error per loss probability:")
     hdr = "  p   " + "".join(f"{n:>14s}" for n in results)
     print(hdr)
+    rows = []
     for i, p in enumerate(probs):
         row = f"  {p:.1f} "
+        jrow = {"p": float(p)}
         for name in results:
+            jrow[f"rms_{name}"] = float(
+                np.nanmean(results[name].tracking_error[i]))
+            jrow[f"infeasible_{name}"] = int(
+                results[name].infeasible_counts[i])
             row += f"{np.nanmean(results[name].tracking_error[i]):14.5f}"
+        rows.append(jrow)
         print(row)
+
+    # Dual solve-time histograms (reference
+    # ``results_linear_system_with_extendedMPC.py:409-431``): per-step
+    # dispatch-inclusive latencies of the plain-tube and extended arms on
+    # one representative p=0.4 rollout each.
+    from ..parallel.latency import latency_report, measure_step_latencies
+    rng = np.random.default_rng(args.seed + 1)
+    T_lat = min(T, 120)
+    th_l = (rng.uniform(size=T_lat) >= 0.4).astype(np.int64)
+    gm_l = (rng.uniform(size=T_lat) >= 0.4).astype(np.int64)
+    th_l[0] = gm_l[0] = 1
+    w_l = rng.uniform(sc.w_lo, sc.w_hi, size=(T_lat, 4))
+    lat_stats = {}
+    for name in ("RT-MPC", "Ext-RT-MPC"):
+        (arrays, cfg), mode, _ = arms[name]
+        lat = measure_step_latencies(arrays, cfg, refs[:T_lat], w_l,
+                                     th_l, gm_l, x0=sc.x0,
+                                     actuator_mode=mode)
+        lat_stats[name] = latency_report(lat, name)
+    solvetime_hist_figure(lat_stats,
+                          "results_linear_extended_solvetime_hist.png",
+                          enabled=not args.no_figures)
+
+    save_summary_json(args.save_json, {
+        "app": "results_linear_extended", "solver": args.solver,
+        "dtype": args.dtype, "backend": jax.default_backend(),
+        "n_mc": n_mc, "T": T, "seed": args.seed, "rows": rows,
+        "solve_time_stats": lat_stats})
 
     ok = check("both tube arms always feasible",
                bool(results["RT-MPC"].feasible.all()

@@ -13,7 +13,8 @@ import time
 
 import numpy as np
 
-from .common import solver_kwargs, check, init_jax, make_parser, savefig
+from .common import (check, init_jax, make_parser, savefig,
+                     save_summary_json, solver_kwargs)
 from .scenarios import cartpole_scenario
 
 
@@ -35,8 +36,11 @@ def main(argv=None):
     parser.add_argument("--extended", action="store_true",
                         help="add the ExtendedTubeTrackingMPC arm "
                              "(results_nonlinear_system_with_extendedMPC)")
+    parser.add_argument("--save-json", default=None,
+                        help="write the per-p mean-RMS rows + solver "
+                             "config to this path")
     args = parser.parse_args(argv)
-    jax = init_jax(args)
+    jax = init_jax(args, tpu_default_solver="ip")
     import jax.numpy as jnp
     from ..models import (setup_extended_tube_tracking, setup_tracking,
                           setup_tube_tracking)
@@ -95,10 +99,23 @@ def main(argv=None):
 
     print("\nMean RMS tracking error (nonlinear plant) per loss prob:")
     print("  p   " + "".join(f"{n:>14s}" for n in results))
+    rows = []
     for i, p in enumerate(probs):
+        row = {"p": float(p)}
+        for name in results:
+            row[f"rms_{name}"] = float(
+                np.nanmean(results[name].tracking_error[i]))
+            row[f"infeasible_{name}"] = int(
+                results[name].infeasible_counts[i])
+        rows.append(row)
         print(f"  {p:.1f} " + "".join(
             f"{np.nanmean(results[name].tracking_error[i]):14.5f}"
             for name in results))
+    save_summary_json(args.save_json, {
+        "app": "results_nonlinear", "extended": bool(args.extended),
+        "solver": args.solver, "dtype": args.dtype,
+        "backend": jax.default_backend(), "n_mc": n_mc, "T": T,
+        "seed": args.seed, "rows": rows})
 
     tube_res = results["RT-MPC"]
     ok = check("tube arm feasible on the nonlinear plant",
@@ -113,6 +130,32 @@ def main(argv=None):
         import matplotlib
         matplotlib.use("Agg")
         import matplotlib.pyplot as plt
+
+        # Fig. 3b/3c: tracking-error BOXPLOTS per loss probability
+        # (``results_nonlinear_system.py:428-433``) — NaN (infeasible)
+        # runs filtered like the reference
+        figb, axb = plt.subplots(figsize=(9, 5))
+        n_arms = len(results)
+        pos = np.arange(len(probs)) * (n_arms + 0.5)
+        colors = {"RT-MPC": "C0", "R-MPC": "C1", "Ext-RT-MPC": "C2"}
+        handles = []
+        for ai, (name, res) in enumerate(results.items()):
+            data = [res.tracking_error[i][~np.isnan(res.tracking_error[i])]
+                    for i in range(len(probs))]
+            data = [d if d.size else np.array([np.nan]) for d in data]
+            bp = axb.boxplot(
+                data, positions=pos + (ai - (n_arms - 1) / 2) * 0.8,
+                widths=0.6, patch_artist=True, sym="x",
+                boxprops=dict(facecolor=colors.get(name, f"C{ai}")))
+            handles.append(bp["boxes"][0])
+        axb.set_xticks(pos)
+        axb.set_xticklabels([f"{p:.1f}" for p in probs])
+        axb.set_xlabel("Packet Loss Probability")
+        axb.set_ylabel("Average Tracking Error (nonlinear plant)")
+        axb.legend(handles, list(results))
+        suffix = "_extended" if args.extended else ""
+        savefig(figb, f"results_nonlinear{suffix}_boxplot.png")
+
         fig, (ax1, ax2) = plt.subplots(nrows=2, figsize=(8, 5))
         pi = min(range(len(probs)), key=lambda i: abs(probs[i] - 0.4))
         tg = sc.Th * np.arange(T)
