@@ -43,7 +43,7 @@ from .assembly import QPTemplate
 from .precision import mm
 
 __all__ = ["ADMMSpec", "ADMMState", "ADMMSolution", "prepare_admm",
-           "init_admm_state", "admm_solve"]
+           "init_admm_state", "admm_solve", "admm_solve_batch_T"]
 
 
 class ADMMSpec(NamedTuple):
@@ -440,6 +440,81 @@ def admm_solve(spec: ADMMSpec, theta: jax.Array,
         # solve's warm start; only the returned primal is polished.
 
     return ADMMSolution(z_primal=spec.D * x, state=state,
+                        r_prim=r_prim, r_dual=r_dual)
+
+
+def admm_solve_batch_T(spec: ADMMSpec, theta_b: jax.Array,
+                       state_b: Optional[ADMMState] = None,
+                       iters: int = 100,
+                       precision=None) -> ADMMSolution:
+    """Batch-level ADMM with the batch in the MXU LANE dimension.
+
+    The vmapped path runs each iteration GEMM as (B,m)x(m,n): contraction
+    and output dims are the tiny problem sizes, each padded to 128 lanes,
+    so only ~20% of the streamed MACs are useful on the flagship geometry
+    — the measured MXU-padding bound (``parallel/roofline.py``; BENCH_r04
+    ``roofline_bound: mxu_padded_tiles`` at ``mxu_padded_util`` ~1.0).
+    Here the state is carried TRANSPOSED — X:(n_p, B), Y/Z:(m_p, B), the
+    problem matrices multiply from the LEFT — so the lane dimension is the
+    batch (no padding waste for B >= 128) and n/m pad only as contraction
+    lanes / output sublanes: the useful-MAC ceiling roughly doubles.
+
+    Same algorithm, same contraction lengths, same fixed iteration count
+    as ``admm_solve`` — results match the vmapped path to f32 roundoff.
+    Accepts and returns the vmapped (batch-major, (B, .) leaves) layout so
+    it is a drop-in replacement inside the batched rollout; the boundary
+    transposes are amortized over ``iters``.
+
+    No polish / early-exit / certificate plumbing here: polish is a
+    per-element LU (vmapped around this call when enabled), early exit is
+    a measured negative on TPU (ACCURACY.md), and certificates probe the
+    returned state exactly as for the other paths.
+    """
+    dt = spec.q0.dtype
+    theta_b = jnp.asarray(theta_b, dt)
+    B = theta_b.shape[0]
+    if state_b is None:
+        n_p, m_p = spec.Kinv.shape[0], spec.As.shape[0]
+        state_b = ADMMState(x=jnp.zeros((B, n_p), dt),
+                            y=jnp.zeros((B, m_p), dt),
+                            z=jnp.zeros((B, m_p), dt))
+    if precision is None:
+        mmp = mm
+    else:
+        if isinstance(precision, str):
+            precision = {"default": jax.lax.Precision.DEFAULT,
+                         "high": jax.lax.Precision.HIGH,
+                         "highest": jax.lax.Precision.HIGHEST}[precision]
+
+        def mmp(a, b, _p=precision):
+            return jnp.matmul(a, b, precision=_p)
+
+    # parameter maps once per solve; (row-major GEMMs, then transpose)
+    qT = (spec.q0[None, :] + mmp(theta_b, spec.Mq.T)).T    # (n_p, B)
+    lT = (spec.l0[None, :] + mmp(theta_b, spec.Ml.T)).T    # (m_p, B)
+    uT = (spec.u0[None, :] + mmp(theta_b, spec.Mu.T)).T
+    X, Y, Z = state_b.x.T, state_b.y.T, state_b.z.T
+    sigma, alpha = spec.sigma, spec.alpha
+    rho = spec.rho[:, None]
+    rho_inv = spec.rho_inv[:, None]
+
+    def body(_, s):
+        X, Y, Z = s
+        rhs = sigma * X - qT + mmp(spec.As.T, rho * Z - Y)
+        Xt = mmp(spec.Kinv, rhs)
+        Zt = mmp(spec.As, Xt)
+        Xn = alpha * Xt + (1.0 - alpha) * X
+        Zmix = alpha * Zt + (1.0 - alpha) * Z
+        Zn = jnp.clip(Zmix + Y * rho_inv, lT, uT)
+        Yn = Y + rho * (Zmix - Zn)
+        return (Xn, Yn, Zn)
+
+    X, Y, Z = jax.lax.fori_loop(0, iters, body, (X, Y, Z))
+    r_prim = jnp.max(jnp.abs(mm(spec.As, X) - Z), axis=0)
+    r_dual = jnp.max(jnp.abs(mm(spec.Ps, X) + qT + mm(spec.As.T, Y)),
+                     axis=0)
+    return ADMMSolution(z_primal=spec.D[None, :] * X.T,
+                        state=ADMMState(X.T, Y.T, Z.T),
                         r_prim=r_prim, r_dual=r_dual)
 
 
