@@ -68,6 +68,21 @@ def init_jax(args, tpu_default_solver: str = "admm"):
     return jax
 
 
+def auto_chunks(args, probs, jax) -> int:
+    """Default sweep chunking: the IP path on an accelerator runs ~1 s of
+    device time per batched step — a full unchunked 250-step sweep is one
+    multi-minute dispatch, which exceeds remote-rig RPC deadlines
+    (measured: UNAVAILABLE device error on the axon tunnel).  One chunk
+    per loss probability keeps each dispatch well under that while
+    remaining bit-identical to the single-shot run (parallel/mc.py)."""
+    n = getattr(args, "n_chunks", None)
+    if n is not None:
+        return n
+    if args.solver == "ip" and jax.default_backend() != "cpu":
+        return len(probs)
+    return 1
+
+
 def solver_kwargs(args, ip_iters: int = 30, admm_iters: int = 120):
     """``to_device`` solver arguments for the parsed app flags.
 

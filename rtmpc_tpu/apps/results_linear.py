@@ -25,7 +25,10 @@ def main(argv=None):
     parser.add_argument("--checkpoint", default=None,
                         help="npz path for per-chunk sweep checkpointing; "
                              "re-run with the same path to resume")
-    parser.add_argument("--n-chunks", type=int, default=1)
+    parser.add_argument("--n-chunks", type=int, default=None,
+                        help="sweep chunks along the probability axis "
+                             "(default: auto — one per probability for "
+                             "the IP path on accelerators, else 1)")
     parser.add_argument("--save-json", default=None,
                         help="write the per-p mean-RMS rows + solver config "
                              "to this path (machine-readable evidence)")
@@ -69,8 +72,10 @@ def main(argv=None):
     key = jax.random.PRNGKey(args.seed)
     k_tube, k_track = jax.random.split(key)
 
+    from .common import auto_chunks
+    args.n_chunks = auto_chunks(args, probs, jax)
     print(f"running sweep: {len(probs)} probs x {n_mc} runs x {T} steps, "
-          f"2 arms")
+          f"2 arms, {args.n_chunks} chunk(s)")
     ckpt = lambda arm: (f"{args.checkpoint}.{arm}" if args.checkpoint
                         else None)
     res_tube = run_mc_sweep(

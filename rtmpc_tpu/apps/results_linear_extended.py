@@ -23,6 +23,9 @@ def main(argv=None):
     parser.add_argument("--save-json", default=None,
                         help="write the per-p mean-RMS rows + solver "
                              "config to this path")
+    parser.add_argument("--n-chunks", type=int, default=None,
+                        help="sweep chunks along the probability axis "
+                             "(default: auto for the IP path)")
     args = parser.parse_args(argv)
     jax = init_jax(args, tpu_default_solver="ip")
     import jax.numpy as jnp
@@ -65,12 +68,14 @@ def main(argv=None):
     refs[:, 0] = sc.ref_value
     key = jax.random.PRNGKey(args.seed)
 
+    from .common import auto_chunks
+    args.n_chunks = auto_chunks(args, probs, jax)
     results = {}
     for name, ((arrays, cfg), mode, im) in arms.items():
         results[name] = run_mc_sweep(
             arrays, cfg, T=T, n_mc=n_mc, loss_probs=probs, refs=refs,
             x0=sc.x0, w_lo=sc.w_lo, w_hi=sc.w_hi, key=key,
-            actuator_mode=mode, infeas_mode=im)
+            actuator_mode=mode, infeas_mode=im, n_chunks=args.n_chunks)
         print(f"{name}: sweep wall time {results[name].wall_time_s:.2f}s")
 
     print("\nMean RMS tracking error per loss probability:")

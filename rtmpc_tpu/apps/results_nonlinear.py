@@ -39,6 +39,9 @@ def main(argv=None):
     parser.add_argument("--save-json", default=None,
                         help="write the per-p mean-RMS rows + solver "
                              "config to this path")
+    parser.add_argument("--n-chunks", type=int, default=None,
+                        help="sweep chunks along the probability axis "
+                             "(default: auto for the IP path)")
     args = parser.parse_args(argv)
     jax = init_jax(args, tpu_default_solver="ip")
     import jax.numpy as jnp
@@ -87,13 +90,16 @@ def main(argv=None):
     # (in the full reference) initial conditions randomize across MC runs.
     # A zero-width disturbance box makes that explicit (the drawn w tensor
     # is all zeros and the plant step takes only (x, u)).
+    from .common import auto_chunks
+    args.n_chunks = auto_chunks(args, probs, jax)
     for name, (setup, mode, im) in setups.items():
         arrays, cfg = setup.to_device(dtype=dtype,
                                       **solver_kwargs(args, admm_iters=400))
         results[name] = run_mc_sweep(
             arrays, cfg, T=T, n_mc=n_mc, loss_probs=probs, refs=refs,
             x0=sc.x0, w_lo=np.zeros(4), w_hi=np.zeros(4), key=key,
-            actuator_mode=mode, infeas_mode=im, plant_step=plant_step)
+            actuator_mode=mode, infeas_mode=im, plant_step=plant_step,
+            n_chunks=args.n_chunks)
         print(f"{name}: wall {results[name].wall_time_s:.2f}s "
               f"infeasible {results[name].infeasible_counts.tolist()}")
 
