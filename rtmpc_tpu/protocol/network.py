@@ -31,8 +31,16 @@ def draw_loss_masks(key: jax.Array, T: int, p_c2p, p_p2c,
     shape = tuple(batch_shape) + (T,)
     p_c2p = jnp.broadcast_to(jnp.asarray(p_c2p), tuple(batch_shape))[..., None]
     p_p2c = jnp.broadcast_to(jnp.asarray(p_p2c), tuple(batch_shape))[..., None]
-    theta = (jax.random.uniform(k_theta, shape) >= p_c2p).astype(jnp.int32)
-    gamma = (jax.random.uniform(k_gamma, shape) >= p_p2c).astype(jnp.int32)
+    # draws pinned to float32 so realizations are identical across
+    # backends/dtypes (under x64 the default uniform dtype silently
+    # becomes f64 and produces DIFFERENT bits from the same key — which
+    # made f64-CPU truth runs and f32-TPU runs unpaired experiments)
+    p_c2p = p_c2p.astype(jnp.float32)
+    p_p2c = p_p2c.astype(jnp.float32)
+    theta = (jax.random.uniform(k_theta, shape, jnp.float32)
+             >= p_c2p).astype(jnp.int32)
+    gamma = (jax.random.uniform(k_gamma, shape, jnp.float32)
+             >= p_p2c).astype(jnp.int32)
     force = jnp.ones(shape[:-1] + (1,), jnp.int32)
     theta = jnp.concatenate([force, theta[..., 1:]], axis=-1)
     gamma = jnp.concatenate([force, gamma[..., 1:]], axis=-1)
@@ -48,5 +56,6 @@ def draw_disturbances(key: jax.Array, T: int, w_lo, w_hi,
     w_hi = jnp.asarray(w_hi)
     nx = w_lo.shape[-1]
     shape = tuple(batch_shape) + (T, nx)
-    u = jax.random.uniform(key, shape)
+    # f32 draws for cross-backend realization parity (see draw_loss_masks)
+    u = jax.random.uniform(key, shape, jnp.float32)
     return w_lo + u * (w_hi - w_lo)
