@@ -145,3 +145,29 @@ def test_tracking_error_metric():
     err = float(tracking_error_rms(x0, jnp.asarray(xs), jnp.asarray(refs)))
     # traj = [x0, 1,1,1,1]; sum err^2 = 4*(1+1) = 8
     np.testing.assert_allclose(err, np.sqrt(8.0) / 5, rtol=1e-12)
+
+
+def test_draws_are_x64_invariant():
+    """The f32 pin in protocol/network.py: the same key must yield
+    bit-identical masks and (up to cast) disturbances whether or not x64
+    is enabled — otherwise f64-CPU truth runs and f32-TPU runs are
+    unpaired experiments (round-4 fix)."""
+    import jax
+    from rtmpc_tpu.protocol.network import (draw_disturbances,
+                                            draw_loss_masks)
+
+    key = jax.random.PRNGKey(42)
+    th64, gm64 = draw_loss_masks(key, 50, 0.4, 0.7, batch_shape=(3,))
+    w64 = draw_disturbances(key, 50, -0.1 * np.ones(2), 0.1 * np.ones(2),
+                            batch_shape=(3,))
+    try:
+        jax.config.update("jax_enable_x64", False)
+        th32, gm32 = draw_loss_masks(key, 50, 0.4, 0.7, batch_shape=(3,))
+        w32 = draw_disturbances(key, 50, -0.1 * np.ones(2),
+                                0.1 * np.ones(2), batch_shape=(3,))
+    finally:
+        jax.config.update("jax_enable_x64", True)
+    np.testing.assert_array_equal(np.asarray(th64), np.asarray(th32))
+    np.testing.assert_array_equal(np.asarray(gm64), np.asarray(gm32))
+    np.testing.assert_allclose(np.asarray(w64), np.asarray(w32, np.float64),
+                               atol=1e-7)
