@@ -127,6 +127,13 @@ def main(argv=None):
         te_track = np.nanmean(tr) if not np.all(np.isnan(tr)) else np.nan
         rows.append({"p": float(p), "rms_tube": float(te_tube),
                      "rms_track": float(te_track),
+                     "rms_tube_median":
+                         float(np.nanmedian(res_tube.tracking_error[i])),
+                     "rms_track_median":
+                         float(np.nanmedian(tr)) if not np.all(np.isnan(tr))
+                         else float("nan"),
+                     "rms_tube_all": res_tube.tracking_error[i].tolist(),
+                     "rms_track_all": tr.tolist(),
                      "track_infeasible":
                          int(res_track.infeasible_counts[i])})
         print(f"  {p:.1f}   {te_tube:12.5f} {te_track:15.5f} "

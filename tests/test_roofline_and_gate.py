@@ -53,19 +53,37 @@ def test_release_gate_compare_rows(tmp_path):
     from release_gate import compare_linear
 
     rows_cpu = [{"p": 0.1 * i, "rms_tube": 0.02 + 0.001 * i,
-                 "rms_track": 0.03 + 0.002 * i, "track_infeasible": 0}
+                 "rms_track": 0.03 + 0.002 * i,
+                 "rms_tube_median": 0.019 + 0.001 * i,
+                 "rms_track_median": 0.029 + 0.002 * i,
+                 "track_infeasible": 0}
                 for i in range(10)]
     base = {"n_mc": 20, "T": 250, "seed": 0, "rows": rows_cpu}
     cpu = tmp_path / "cpu.json"
     cpu.write_text(json.dumps(base))
 
-    # within 2%: passes
+    # within 2% on gated stats: passes
     rows_tpu = [dict(r, rms_tube=r["rms_tube"] * 1.015,
                      rms_track=r["rms_track"] * 0.99) for r in rows_cpu]
     tpu = tmp_path / "tpu.json"
     tpu.write_text(json.dumps(dict(base, rows=rows_tpu)))
     ok, msg = compare_linear(str(tpu), str(cpu))
     assert ok, msg
+
+    # the track MEAN is informational, not gated (knife-edge outlier runs)
+    rows_meanoff = [dict(r) for r in rows_tpu]
+    rows_meanoff[8]["rms_track"] = rows_cpu[8]["rms_track"] * 2.5
+    tpu.write_text(json.dumps(dict(base, rows=rows_meanoff)))
+    ok, msg = compare_linear(str(tpu), str(cpu))
+    assert ok and "info" in msg
+
+    # but the track MEDIAN is gated
+    rows_medoff = [dict(r) for r in rows_tpu]
+    rows_medoff[8]["rms_track_median"] = \
+        rows_cpu[8]["rms_track_median"] * 1.1
+    tpu.write_text(json.dumps(dict(base, rows=rows_medoff)))
+    ok, msg = compare_linear(str(tpu), str(cpu))
+    assert not ok
 
     # 5% off on one row: fails
     rows_bad = [dict(r) for r in rows_tpu]
