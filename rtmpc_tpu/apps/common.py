@@ -29,14 +29,17 @@ def make_parser(description: str) -> argparse.ArgumentParser:
                         "TPU (TPU has no f64 linear-algebra kernels)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--solver", default=None,
-                   choices=["ip", "admm", "pallas"],
+                   choices=["ip", "ip_riccati", "ip_hybrid", "admm", "pallas"],
                    help="QP solver: default 'ip' on CPU (f64 "
                         "interior-point, Clarabel-class) and 'admm' with "
                         "KKT polish on TPU (the IP path's per-iteration "
                         "LU factorizations compile for minutes on TPU; "
                         "ADMM+polish compiles in seconds at ~1e-4 f32 "
                         "solution accuracy); 'pallas' routes batched "
-                        "sweeps through the fused VMEM-resident kernel")
+                        "sweeps through the fused VMEM-resident kernel; "
+                        "'ip_riccati' is the structured accuracy mode "
+                        "(Riccati/arrowhead KKT, ~10x the dense IP's "
+                        "speed at the same Mehrotra algebra)")
     return p
 
 
@@ -60,7 +63,8 @@ def init_jax(args, tpu_default_solver: str = "admm"):
     if args.dtype is None:
         args.dtype = ("float64" if jax.default_backend() == "cpu"
                       else "float32")
-    if args.dtype == "float64":
+    if args.dtype == "float64" or args.solver == "ip_hybrid":
+        # the hybrid's f64 polish phase needs x64 even with an f32 engine
         jax.config.update("jax_enable_x64", True)
     if args.solver is None:
         args.solver = ("ip" if jax.default_backend() == "cpu"
@@ -97,6 +101,11 @@ def solver_kwargs(args, ip_iters: int = 30, admm_iters: int = 120):
     """
     if args.solver == "ip":
         return dict(solver="ip", ip_iters=ip_iters, polish=True)
+    if args.solver == "ip_riccati":
+        return dict(solver="ip_riccati", ip_iters=ip_iters)
+    if args.solver == "ip_hybrid":
+        return dict(solver="ip_hybrid", ip_iters=max(ip_iters, 25),
+                    ip_hybrid_iters=20)
     sched = dict(solver=args.solver, iters=admm_iters // 2,
                  iters2=admm_iters - admm_iters // 2, alpha=1.8,
                  rho2_scale=0.2)
@@ -111,8 +120,8 @@ def check_tol(args) -> float:
     in tests) holds invariants to 1e-6 like the reference's Clarabel at
     tol 1e-7; the f32 ADMM+polish throughput mode satisfies them to
     solver tolerance (~1e-3 absolute on unit-scale constraints)."""
-    return 1e-6 if (args.solver == "ip" and args.dtype == "float64") \
-        else 2.5e-3
+    return 1e-6 if (args.solver in ("ip", "ip_riccati")
+                    and args.dtype == "float64") else 2.5e-3
 
 
 def savefig(fig, name: str, enabled: bool = True):

@@ -17,6 +17,10 @@ import numpy as np
 
 __all__ = ["cached_setup", "CACHE_DIR"]
 
+# Bump when the pickled MPCSetup schema changes (e.g. new QPTemplate
+# fields): stale entries are keyed out rather than half-loaded.
+_SCHEMA = 2
+
 CACHE_DIR = os.environ.get(
     "RTMPC_CACHE_DIR",
     os.path.join(os.path.dirname(os.path.dirname(
@@ -55,7 +59,7 @@ def cached_setup(fn, *args, cache: bool = True, **kwargs):
     """``cached_setup(setup_tube_tracking, A, B, ...)`` with disk memo."""
     if not cache:
         return fn(*args, **kwargs)
-    key = _digest((fn.__name__, args, kwargs))
+    key = _digest((fn.__name__, _SCHEMA, args, kwargs))
     path = os.path.join(CACHE_DIR, f"{fn.__name__}-{key}.pkl")
     if os.path.exists(path):
         try:

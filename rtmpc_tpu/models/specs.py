@@ -47,6 +47,7 @@ from ..sets.invariant import determine_mrpi, max_admissible_set, \
 from ..ops.assembly import QPTemplate, build_mpc_qp, condense_template
 from ..ops.qp import ADMMSpec, prepare_admm
 from ..ops.ip import IPSpec, prepare_ip
+from ..ops.ip_riccati import RiccatiIPSpec, prepare_ip_riccati
 
 __all__ = [
     "MPCSetup", "ControllerArrays", "ControllerConfig",
@@ -104,6 +105,7 @@ class MPCSetup:
                   phase2_precision: Optional[str] = None,
                   rho="auto", polish: bool = False,
                   solver: str = "admm", ip_iters: int = 25,
+                  ip_hybrid_iters: int = 12,
                   probe_thetas: Optional[np.ndarray] = None,
                   pallas_block: int = 1024,
                   pallas_interpret: bool = False,
@@ -153,6 +155,24 @@ class MPCSetup:
         ip = prepare_ip(tmpl, pad_to=pad_to, dtype=dtype)
         ip_pr = (prepare_ip(tmpl_pr, pad_to=pad_to, dtype=dtype)
                  if tmpl_pr is not None else ip)
+        # structured (Riccati/arrowhead) IP: built from the UNCONDENSED
+        # templates — the stage structure is the whole point.  Templates
+        # predating row_meta (or using the x_N == xbar fallback) simply
+        # don't get the fast path.  The mixed-precision hybrid carries
+        # the f64 spec regardless of engine dtype (phase 1 casts down).
+        ric_dtype = jnp.float64 if solver == "ip_hybrid" else dtype
+        if solver == "ip_hybrid":
+            import jax as _jax
+            assert _jax.config.jax_enable_x64, \
+                "solver='ip_hybrid' needs jax_enable_x64 (f64 polish phase)"
+        try:
+            ric = prepare_ip_riccati(self.template, dtype=ric_dtype)
+            ric_pr = (prepare_ip_riccati(self.template_pr, dtype=ric_dtype)
+                      if self.template_pr is not None else ric)
+        except AssertionError:
+            if solver in ("ip_riccati", "ip_hybrid"):
+                raise
+            ric = ric_pr = None
 
         nx, nu, N = self.nx, self.nu, self.N
         K = self.K if self.K is not None else np.zeros((nu, nx))
@@ -187,6 +207,8 @@ class MPCSetup:
             S_rec_pr=(jnp.asarray(tmpl_pr.S, dtype)
                       if condensed and tmpl_pr is not None
                       else jnp.zeros((0, 0), dtype)),
+            ric=ric,
+            ric_pr=ric_pr,
         )
         cfg = ControllerConfig(
             nx=nx, nu=nu, N=N,
@@ -198,6 +220,7 @@ class MPCSetup:
             polish=polish,
             solver=solver,
             ip_iters=ip_iters,
+            ip_hybrid_iters=ip_hybrid_iters,
             u_off=nx * (N + 1),
             xbar_off=(nx * (N + 1) + nu * N) if tmpl.tracking else -1,
             ubar_off=(nx * (N + 1) + nu * N + nx) if tmpl.tracking else -1,
@@ -238,6 +261,10 @@ class ControllerArrays(NamedTuple):
     # when cfg.condensed is False — pytree-stable placeholder)
     S_rec: jax.Array = None
     S_rec_pr: jax.Array = None
+    # Structured interior point (solver "ip_riccati"); None when the
+    # template lacks stage metadata (None is an empty pytree node)
+    ric: RiccatiIPSpec = None
+    ric_pr: RiccatiIPSpec = None
 
 
 @dataclasses.dataclass(frozen=True)
@@ -253,6 +280,9 @@ class ControllerConfig:
     polish: bool
     solver: str
     ip_iters: int
+    # f64 polish-phase budget for solver "ip_hybrid" (while-loop bounded:
+    # easy/warm lanes exit early, so this is a cap, not a cost)
+    ip_hybrid_iters: int
     u_off: int
     xbar_off: int
     ubar_off: int
@@ -477,6 +507,8 @@ def setup_extended_tube_tracking(A, B, Q, R, N, X: Polytope, U: Polytope,
             tmpl_pr,
             A=tmpl_pr.A[:neq], l0=tmpl_pr.l0[:neq], u0=tmpl_pr.u0[:neq],
             Ml=tmpl_pr.Ml[:neq], Mu=tmpl_pr.Mu[:neq],
-            is_eq=tmpl_pr.is_eq[:neq])
+            is_eq=tmpl_pr.is_eq[:neq],
+            row_meta={**tmpl_pr.row_meta, "terminal_eq_fallback": False,
+                      "mN": 0})
     return dataclasses.replace(setup, kind="extended_tube_tracking",
                                template_pr=tmpl_pr)

@@ -72,6 +72,12 @@ class QPTemplate:
     # (x_slice/u_slice/...) and ``solve_dense`` refer to the FULL layout
     # and must not be used on a condensed template (solve_dense asserts).
     S: Optional[np.ndarray] = None
+    # Stage-structure metadata recorded by ``build_mpc_qp`` (None on
+    # condensed templates): row counts per group in the builder's fixed
+    # emission order [dynamics | init | ss | state | input | terminal].
+    # Consumed by the structure-exploiting interior point
+    # (``ops/ip_riccati.py``), which never forms the flat KKT matrix.
+    row_meta: Optional[dict] = None
 
     @property
     def n(self) -> int:
@@ -325,12 +331,23 @@ def build_mpc_qp(
         add_rows(Arow, np.zeros(nx), np.zeros(nx), eq=True)
 
     Acon = np.vstack(rows_A)
+    meta = {
+        "init_mode": init_mode,
+        "mt": 0 if init_mode == "fixed" else Hz.shape[0],
+        "has_ss": bool(tracking),
+        "mx": 0 if Hx is None else Hx.shape[0],
+        "mu": 0 if Hu is None else Hu.shape[0],
+        "mN": 0 if HxN is None else HxN.shape[0],
+        "terminal_eq_fallback": HxN is None and tracking,
+        "terminal_augmented": bool(terminal_augmented and HxN is not None),
+    }
     return QPTemplate(
         P=Pq, q0=q0, Mq=Mq, A=Acon,
         l0=np.concatenate(rows_l0), Ml=np.vstack(rows_Ml),
         u0=np.concatenate(rows_u0), Mu=np.vstack(rows_Mu),
         is_eq=np.concatenate(rows_eq),
         nx=nx, nu=nu, N=N, tracking=tracking, ntheta=ntheta,
+        row_meta=meta,
     )
 
 

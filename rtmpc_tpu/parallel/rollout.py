@@ -79,12 +79,20 @@ def init_carry(arrays: ControllerArrays, cfg: ControllerConfig, x0,
                T: int) -> RolloutCarry:
     dtype = arrays.A.dtype
     x0 = jnp.asarray(x0, dtype).reshape(cfg.nx)
+    if cfg.solver in ("ip_riccati", "ip_hybrid"):
+        from ..ops.ip_riccati import init_ip_state
+        sdt = jnp.float32 if cfg.solver == "ip_hybrid" else None
+        warm = init_ip_state(arrays.ric, cfg.N, dtype=sdt)
+        warm_pr = init_ip_state(arrays.ric_pr, cfg.N, dtype=sdt)
+    else:
+        warm = init_admm_state(arrays.admm)
+        warm_pr = init_admm_state(arrays.admm_pr)
     return RolloutCarry(
         x=x0,
         act=init_actuator(cfg.N, cfg.nx, cfg.nu, x0, dtype),
         est=init_estimator(T, cfg.N, cfg.nx, cfg.nu, x0, dtype),
-        admm=init_admm_state(arrays.admm),
-        admm_pr=init_admm_state(arrays.admm_pr),
+        admm=warm,
+        admm_pr=warm_pr,
         prev_gamma=jnp.ones((), jnp.int32),
         feasible=jnp.ones((), jnp.bool_),
         infeas_count=jnp.zeros((), jnp.int32),
@@ -132,6 +140,34 @@ def _solve(arrays, cfg, theta_qp, warm_state, pr=False):
         sol = ADMMSolution(z_primal=sol.z_primal, state=warm_state,
                            r_prim=sol.r_prim, r_dual=sol.r_dual)
         return _recover(arrays, cfg, sol, pr)
+    if cfg.solver in ("ip_riccati", "ip_hybrid"):
+        # structured accuracy mode: already returns the FULL layout; the
+        # interior state warm-starts the NEXT step's solve (in steady
+        # tracking consecutive QPs differ by one disturbance draw, so the
+        # while-loop converges in a couple of iterations)
+        from ..ops.ip_riccati import (ip_riccati_solve,
+                                      ip_riccati_solve_hybrid)
+        from ..ops.qp import ADMMSolution
+        spec = arrays.ric_pr if pr else arrays.ric
+        edt = arrays.A.dtype
+        # Cold start each step: cross-step interior-point warm starts were
+        # measured LESS robust than cold starts on loss transients (stale
+        # active sets stall Mehrotra); the while-loop early exit already
+        # prices easy steps cheaply.  warm_state is threaded through for
+        # carry-structure stability only.
+        if cfg.solver == "ip_hybrid":
+            sol, st = ip_riccati_solve_hybrid(
+                spec, theta_qp, cfg.N, iters32=cfg.ip_iters,
+                iters64=cfg.ip_hybrid_iters, want_state=True)
+            st = jax.tree_util.tree_map(
+                lambda a: a.astype(jnp.float32), st)
+        else:
+            sol, st = ip_riccati_solve(
+                spec, theta_qp, cfg.N, iters=cfg.ip_iters,
+                want_state=True)
+        return ADMMSolution(z_primal=sol.z_primal.astype(edt), state=st,
+                            r_prim=sol.r_prim.astype(edt),
+                            r_dual=sol.r_dual.astype(edt))
     # "admm" and (per-element fallback) "pallas" — identical iteration
     spec = arrays.admm_pr if pr else arrays.admm
     if cfg.iters2 > 0:
@@ -285,7 +321,19 @@ def make_rollout_fn(
                   if cfg.extended else None)
         z, r_prim, r_dual, admm_new, admm_pr_new = _select_extended(
             cfg, carry, sol, sol_pr)
-        if infeas_mode == "certificate" and cfg.solver != "ip":
+        if infeas_mode == "certificate" and cfg.solver in (
+                "ip_riccati", "ip_hybrid"):
+            # structured-IP infeasibility signal: the best-iterate return
+            # keeps z finite on infeasible instances (unlike the dense
+            # IP, which diverges to NaN), so detection keys on the final
+            # scaled primal residual instead — feasible solves land at
+            # <=1e-6, infeasible ones stall >=1e-2 (measured)
+            cert_bad = sol.r_prim > 1e-3
+            if cfg.extended:
+                cert_bad = jnp.where(carry.prev_gamma == 1,
+                                     sol_pr.r_prim > 1e-3, cert_bad)
+        elif infeas_mode == "certificate" and cfg.solver not in (
+                "ip", "ip_riccati", "ip_hybrid"):
             # probe with the spec whose rho produced the final state
             cert_spec = arrays.admm2 if cfg.iters2 > 0 else arrays.admm
             pinf, dinf = infeasibility_certificates(
@@ -502,7 +550,13 @@ def make_direct_rollout(
 
     def rollout(x0, refs, w):
         x0 = jnp.asarray(x0, arrays.A.dtype).reshape(cfg.nx)
-        carry0 = (x0, init_admm_state(arrays.admm))
+        if cfg.solver in ("ip_riccati", "ip_hybrid"):
+            from ..ops.ip_riccati import init_ip_state
+            sdt = jnp.float32 if cfg.solver == "ip_hybrid" else None
+            warm = init_ip_state(arrays.ric, cfg.N, dtype=sdt)
+        else:
+            warm = init_admm_state(arrays.admm)
+        carry0 = (x0, warm)
         return jax.lax.scan(step, carry0, (refs, w))
 
     return rollout
