@@ -63,12 +63,12 @@ def init_jax(args, tpu_default_solver: str = "admm"):
     if args.dtype is None:
         args.dtype = ("float64" if jax.default_backend() == "cpu"
                       else "float32")
-    if args.dtype == "float64" or args.solver == "ip_hybrid":
-        # the hybrid's f64 polish phase needs x64 even with an f32 engine
-        jax.config.update("jax_enable_x64", True)
     if args.solver is None:
         args.solver = ("ip" if jax.default_backend() == "cpu"
                        else tpu_default_solver)
+    if args.dtype == "float64" or args.solver == "ip_hybrid":
+        # the hybrid's f64 polish phase needs x64 even with an f32 engine
+        jax.config.update("jax_enable_x64", True)
     return jax
 
 
@@ -82,7 +82,8 @@ def auto_chunks(args, probs, jax) -> int:
     n = getattr(args, "n_chunks", None)
     if n is not None:
         return n
-    if args.solver == "ip" and jax.default_backend() != "cpu":
+    if args.solver in ("ip", "ip_riccati", "ip_hybrid") \
+            and jax.default_backend() != "cpu":
         return len(probs)
     return 1
 

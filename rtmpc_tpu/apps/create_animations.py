@@ -43,12 +43,36 @@ def render_gif(traj, Th, path, title, every=2):
     frames[0].save(path, save_all=True, append_images=frames[1:], loop=0,
                    duration=int(1000 * Th * every))
     print(f"[gif] {path} ({len(frames)} frames)")
+    return frames
+
+
+def render_strip(frames, path, n=8):
+    """Horizontal strip of n equally-spaced frames — the committable
+    still-image form of the GIF evidence (GIFs are working artifacts in
+    the gitignored results/; the strip goes under figures_r*/)."""
+    import os
+    import numpy as np
+    from PIL import Image
+    idx = np.linspace(0, len(frames) - 1, n).astype(int)
+    imgs = [frames[i] for i in idx]
+    wsum = sum(im.width for im in imgs)
+    strip = Image.new("RGB", (wsum, imgs[0].height), "white")
+    xoff = 0
+    for im in imgs:
+        strip.paste(im, (xoff, 0))
+        xoff += im.width
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    strip.save(path)
+    print(f"[strip] {path} ({n} frames)")
 
 
 def main(argv=None):
     parser = make_parser(__doc__)
     parser.add_argument("--loss-prob", type=float, default=0.4)
     parser.add_argument("--no-cache", action="store_true")
+    parser.add_argument("--strip-dir", default=None,
+                        help="also write an n-frame strip PNG per arm to "
+                             "this directory (committable evidence)")
     args = parser.parse_args(argv)
     jax = init_jax(args)
     import jax.numpy as jnp
@@ -88,10 +112,17 @@ def main(argv=None):
                            theta, gamma)
         traj = np.vstack([sc.x0[None], np.asarray(outs.x)])
         ok &= check(f"{name} rollout finite", bool(np.isfinite(traj).all()))
-        render_gif(traj, sc.Th,
-                   f"{RESULTS_DIR}/animation_{name}_p"
-                   f"{args.loss_prob:.1f}.gif",
-                   f"{name} MPC, p={args.loss_prob}")
+        ok &= check(f"{name} pole angle bounded (|phi| < 0.3)",
+                    bool(np.abs(traj[:, 2]).max() < 0.3),
+                    f"max |phi| = {np.abs(traj[:, 2]).max():.3f}")
+        frames = render_gif(traj, sc.Th,
+                            f"{RESULTS_DIR}/animation_{name}_p"
+                            f"{args.loss_prob:.1f}.gif",
+                            f"{name} MPC, p={args.loss_prob}")
+        if args.strip_dir:
+            render_strip(frames,
+                         f"{args.strip_dir}/animation_{name}_p"
+                         f"{args.loss_prob:.1f}_strip.png")
     return 0 if ok else 1
 
 

@@ -33,11 +33,13 @@ def main(argv=None):
                         help="write the per-p mean-RMS rows + solver config "
                              "to this path (machine-readable evidence)")
     args = parser.parse_args(argv)
-    # reference-grade accuracy by default on every backend: the f32
-    # Ruiz-scaled interior point is the only TPU solver that reproduces
-    # the f64 truth on this 4-D geometry (ACCURACY.md); --solver admm
-    # remains the opt-in throughput mode
-    jax = init_jax(args, tpu_default_solver="ip")
+    # reference-grade accuracy by default on every backend: the
+    # mixed-precision Riccati interior point (f32 path following + f64
+    # polish, ops/ip_riccati.py) reproduces the f64 truth on this 4-D
+    # geometry at ~1.4 ms/solve on TPU — inside the reference's own
+    # 2.5-20 ms Clarabel histogram; --solver admm remains the opt-in
+    # throughput mode, --solver ip the round-4 dense accuracy mode
+    jax = init_jax(args, tpu_default_solver="ip_hybrid")
     import jax.numpy as jnp
     from ..models import setup_tracking, setup_tube_tracking
     from ..models.cache import cached_setup

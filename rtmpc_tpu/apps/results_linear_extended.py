@@ -27,7 +27,7 @@ def main(argv=None):
                         help="sweep chunks along the probability axis "
                              "(default: auto for the IP path)")
     args = parser.parse_args(argv)
-    jax = init_jax(args, tpu_default_solver="ip")
+    jax = init_jax(args, tpu_default_solver="ip_hybrid")
     import jax.numpy as jnp
     from ..models import (setup_extended_tube_tracking, setup_tracking,
                           setup_tube_tracking)

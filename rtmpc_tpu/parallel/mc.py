@@ -116,6 +116,18 @@ def run_mc_sweep(
         from jax.sharding import NamedSharding, PartitionSpec as Pspec
         return jax.device_put(a, NamedSharding(mesh, Pspec("dp")))
 
+    def to_host(a):
+        """Device->host for a possibly globally-sharded array.  In a
+        multi-process run each process only holds its addressable shards;
+        gather the full array so every process returns identical rows
+        (DCN traffic happens HERE, at result gather, per the §2.4 plan)."""
+        from .distributed import is_distributed
+        if is_distributed():
+            from jax.experimental import multihost_utils
+            return np.asarray(
+                multihost_utils.process_allgather(a, tiled=True))
+        return np.asarray(a)
+
     # --- chunking / resume bookkeeping ---------------------------------
     n_chunks = max(1, min(int(n_chunks), P))
     bounds = np.linspace(0, P, n_chunks + 1).astype(int)  # prob-axis cuts
@@ -160,10 +172,10 @@ def run_mc_sweep(
         xs_c.block_until_ready()
         wall += _time.perf_counter() - t0
         npp = hi - lo
-        err[lo:hi] = np.asarray(err_c).reshape(npp, M)
-        feas[lo:hi] = np.asarray(feas_c).reshape(npp, M)
-        sample_traj[lo:hi] = np.asarray(xs_c).reshape(npp, M, T, nx)[:, si]
-        sample_x_nom[lo:hi] = np.asarray(xn_c).reshape(npp, M, T, nx)[:, si]
+        err[lo:hi] = to_host(err_c).reshape(npp, M)
+        feas[lo:hi] = to_host(feas_c).reshape(npp, M)
+        sample_traj[lo:hi] = to_host(xs_c).reshape(npp, M, T, nx)[:, si]
+        sample_x_nom[lo:hi] = to_host(xn_c).reshape(npp, M, T, nx)[:, si]
         if checkpoint_path:
             tmp = checkpoint_path + ".tmp.npz"     # atomic write + rename
             np.savez(tmp, fingerprint=fingerprint, next_chunk=ci + 1,

@@ -1,4 +1,4 @@
-"""Virtual-mesh scaling measurement -> MULTICHIP_r<N>.json.
+"""Virtual-mesh scaling measurement -> MULTICHIP_SCALING_r<N>.json.
 
 Real multi-chip hardware is not available on this rig (one TPU v5e via a
 tunnel), so BASELINE's >=0.8 scaling-efficiency axis cannot be measured
@@ -118,7 +118,10 @@ def main():
         "solver_config": {"iters": cfg.iters, "iters2": cfg.iters2},
         "dryrun": "see __graft_entry__.dryrun_multichip (shard_map+psum)",
     }
-    out = os.path.join(_ROOT, f"MULTICHIP_r{args.round:02d}.json")
+    # MULTICHIP_SCALING (not MULTICHIP): the driver writes its own minimal
+    # dryrun blob to MULTICHIP_r<N>.json at judge time, which clobbered the
+    # committed rich artifact in rounds 3 and 4 — distinct names keep both
+    out = os.path.join(_ROOT, f"MULTICHIP_SCALING_r{args.round:02d}.json")
     with open(out, "w") as f:
         json.dump(result, f, indent=1)
     print(f"wrote {out}")

@@ -21,7 +21,7 @@ Stages (each tees to an artifact at the repo root):
                                                             RESULTS_NONLINEAR_EXT_r0N.log (+ .json)
     compare    TPU linear rows vs the committed CPU/f64 truth JSON
                (RESULTS_LINEAR_CPU_F64_r0N.json) within 2%  [skipped if absent]
-    multichip  tools/multichip_bench.py --round N        -> MULTICHIP_r0N.json
+    multichip  tools/multichip_bench.py --round N        -> MULTICHIP_SCALING_r0N.json
     bench      python bench.py                           -> BENCH_GATE_r0N.json
     audit      every artifact exists, is non-empty, and postdates HEAD
 
@@ -228,7 +228,8 @@ def main():
                      str(args.round)], env=env)
         if rc != 0:
             failures.append("multichip")
-    expected.append((f"MULTICHIP_{rr}.json", "virtual-mesh scaling"))
+    expected.append((f"MULTICHIP_SCALING_{rr}.json",
+                     "virtual-mesh scaling"))
 
     if stage("bench"):
         rc, out = run([py, "bench.py"])

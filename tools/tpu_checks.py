@@ -283,6 +283,98 @@ def main():
     check("cartpole IP: Theta exact match",
           bool(np.array_equal(outs_ip.Theta, oracle_c["Theta"])))
 
+    # (a2) hybrid accuracy mode — the Results apps' TPU default since r5:
+    # f32 Riccati path following + f64 polish (ops/ip_riccati.py) must
+    # land ON the f64 oracle, not merely near it
+    jax.config.update("jax_enable_x64", True)
+    arr_hy, cfg_hy = cp.to_device(dtype=jnp.float32, solver="ip_hybrid",
+                                  ip_iters=25, ip_hybrid_iters=20)
+    fn_hy = jax.jit(make_rollout_fn(arr_hy, cfg_hy, Tc))
+    _, outs_hy = fn_hy(jnp.asarray(sc.x0, jnp.float32),
+                       jnp.asarray(refs_c, jnp.float32),
+                       jnp.asarray(w_c, jnp.float32),
+                       jnp.asarray(th_c, jnp.int32),
+                       jnp.asarray(gm_c, jnp.int32))
+    outs_hy = jax.tree_util.tree_map(np.asarray, outs_hy)
+    herr = float(np.max(np.abs(outs_hy.x - oracle_c["x"])))
+    hmed = float(np.median(np.max(np.abs(outs_hy.x - oracle_c["x"]),
+                                  axis=1)))
+    rms_hy = float(np.asarray(tracking_error_rms(
+        jnp.asarray(sc.x0), jnp.asarray(outs_hy.x), jnp.asarray(refs_c))))
+    hdrel = abs(rms_hy - rms_orc) / rms_orc
+    result["cartpole_hybrid_traj_max_abs_err"] = herr
+    result["cartpole_hybrid_traj_median_step_err"] = hmed
+    result["cartpole_hybrid_rms_rel_err"] = hdrel
+    check("cartpole 4-D N=20: HYBRID Riccati IP on-device RMS within 0.5% "
+          "of f64 oracle", hdrel < 0.005,
+          f"rms {rms_hy:.6f} vs {rms_orc:.6f} (drel {hdrel:.5f})")
+    check("cartpole hybrid: median per-step |dx| < 1e-3", hmed < 1e-3,
+          f"median {hmed:.2e}, max {herr:.2e}")
+    check("cartpole hybrid: Theta exact match",
+          bool(np.array_equal(outs_hy.Theta, oracle_c["Theta"])))
+
+    # ---- 5. EXTENDED arm on device vs f64 oracle (round-5 ask) -----------
+    # Two-QP selection on prev_gamma + RobustEstimator + x_nom reset
+    # (reference ``TubeTrackingMPC.py:307-349``, ``Estimator.py:113-156``),
+    # previously exercised on hardware only inside sweep apps.
+    from rtmpc_tpu.models import setup_extended_tube_tracking
+    ext = setup_extended_tube_tracking(
+        A, B, np.eye(2), np.eye(1), 10,
+        box(np.array([8.0, 8.0])), box(np.array([1.0])),
+        box(np.array([0.1, 0.1])), fixed_initial_state=True)
+    Te = 100
+    rng = np.random.default_rng(23)
+    th_e = (rng.uniform(size=Te) >= 0.5).astype(np.int64)
+    gm_e = (rng.uniform(size=Te) >= 0.5).astype(np.int64)
+    th_e[0] = gm_e[0] = 1
+    w_e = rng.uniform(-0.1, 0.1, size=(Te, 2))
+    refs_e = np.zeros((Te, 2))
+    refs_e[:Te // 2, 0] = 5.0
+    refs_e[Te // 2:, 0] = -6.0
+    oracle_e = run_oracle_rollout(ext, np.zeros(2), refs_e, w_e, th_e, gm_e)
+    assert oracle_e["feasible"] and oracle_e["steps"] == Te
+
+    # accuracy mode (hybrid) — tight parity
+    arr_eh, cfg_eh = ext.to_device(dtype=jnp.float32, solver="ip_hybrid",
+                                   ip_iters=25, ip_hybrid_iters=20)
+    fn_eh = jax.jit(make_rollout_fn(arr_eh, cfg_eh, Te))
+    carry_eh, outs_eh = fn_eh(jnp.zeros(2, jnp.float32),
+                              jnp.asarray(refs_e, jnp.float32),
+                              jnp.asarray(w_e, jnp.float32),
+                              jnp.asarray(th_e, jnp.int32),
+                              jnp.asarray(gm_e, jnp.int32))
+    outs_eh = jax.tree_util.tree_map(np.asarray, outs_eh)
+    eerr = float(np.max(np.abs(outs_eh.x - oracle_e["x"])))
+    euerr = float(np.max(np.abs(outs_eh.u - oracle_e["u"])))
+    result["extended_hybrid_traj_max_abs_err"] = eerr
+    result["extended_hybrid_u_max_abs_err"] = euerr
+    check("EXTENDED arm (two-QP + RobustEstimator) on-device trajectory "
+          "parity vs f64 oracle (atol 5e-3)", eerr < 5e-3,
+          f"max|dx| = {eerr:.2e}, max|du| = {euerr:.2e}")
+    check("extended: Theta exact match",
+          bool(np.array_equal(outs_eh.Theta, oracle_e["Theta"])))
+    check("extended: rollout stays feasible on device",
+          bool(np.asarray(carry_eh.feasible)))
+    # tube membership with the extended actuator's nominal resets
+    Ze = ext.Z
+    tube_ok_e = all(contains(Ze, outs_eh.x[t] - outs_eh.x_nom[t + 1],
+                             tol=5e-3) for t in range(Te - 1))
+    check("extended: tube membership x - x_nom in Z on device", tube_ok_e)
+
+    # throughput mode (bench ADMM config) — same protocol, looser parity
+    arr_ea, cfg_ea = ext.to_device(dtype=jnp.float32, **solver_kw)
+    fn_ea = jax.jit(make_rollout_fn(arr_ea, cfg_ea, Te))
+    carry_ea, outs_ea = fn_ea(jnp.zeros(2, jnp.float32),
+                              jnp.asarray(refs_e, jnp.float32),
+                              jnp.asarray(w_e, jnp.float32),
+                              jnp.asarray(th_e, jnp.int32),
+                              jnp.asarray(gm_e, jnp.int32))
+    outs_ea = jax.tree_util.tree_map(np.asarray, outs_ea)
+    eaerr = float(np.max(np.abs(outs_ea.x - oracle_e["x"])))
+    result["extended_admm_traj_max_abs_err"] = eaerr
+    check("extended ADMM (bench config) trajectory parity vs oracle "
+          "(atol 5e-2)", eaerr < 5e-2, f"max|dx| = {eaerr:.2e}")
+
     # (b) ADMM throughput mode — robustness invariants only (its residuals
     # plateau ~1e-2 on this geometry; accuracy claims are IP-only)
     arr_ad, cfg_ad = cp.to_device(dtype=jnp.float32, iters=200, iters2=200,
