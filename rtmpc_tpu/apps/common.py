@@ -82,9 +82,21 @@ def auto_chunks(args, probs, jax) -> int:
     n = getattr(args, "n_chunks", None)
     if n is not None:
         return n
-    if args.solver in ("ip", "ip_riccati", "ip_hybrid") \
-            and jax.default_backend() != "cpu":
+    if jax.default_backend() == "cpu":
+        return 1
+    if args.solver == "ip":
+        # dense-IP dispatches are minutes long; one chunk per probability
+        # keeps each under the tunnel's RPC deadline
         return len(probs)
+    if args.solver in ("ip_riccati", "ip_hybrid"):
+        # the structured IP's while-loop cost per batched step is nearly
+        # batch-size-independent (max-lane iterations dominate), so
+        # prob-axis chunks destroy amortization: measured 13.1 ms/solve
+        # at 10 chunks (batch 20) vs ~1.4 ms/solve at batch 200.  Run
+        # ONE full-batch chunk; the RPC-deadline problem is handled by
+        # run_mc_sweep's TIME chunking (50-step carry-threaded
+        # dispatches) instead.
+        return 1
     return 1
 
 
@@ -105,8 +117,11 @@ def solver_kwargs(args, ip_iters: int = 30, admm_iters: int = 120):
     if args.solver == "ip_riccati":
         return dict(solver="ip_riccati", ip_iters=ip_iters)
     if args.solver == "ip_hybrid":
+        # 25+12 without f64-side iterative refinement: closed-loop parity
+        # vs the f64 oracle measured unchanged (0.00-0.72% RMS) at ~half
+        # the f64 polish cost of the 25+20+IR config
         return dict(solver="ip_hybrid", ip_iters=max(ip_iters, 25),
-                    ip_hybrid_iters=20)
+                    ip_hybrid_iters=12)
     sched = dict(solver=args.solver, iters=admm_iters // 2,
                  iters2=admm_iters - admm_iters // 2, alpha=1.8,
                  rho2_scale=0.2)

@@ -623,8 +623,18 @@ def ip_riccati_solve(spec: RiccatiIPSpec, theta: jax.Array, N: int,
         oss = _mm(spec.Ass, dw)
         return ox, ou, oxN, ow, od, oss
 
+    # Iterative refinement is an f32 need: the f32 Riccati sweep loses
+    # ~3 digits over the N-stage recursion on stiff barriers, and one
+    # residual re-solve restores direction accuracy (measured).  In f64
+    # with a FIXED initial state the pivoted-LU sweeps are accurate
+    # enough alone — skipping the re-solve HALVES the (emulated,
+    # ~50x-cost) f64 per-iteration price with no measured accuracy
+    # change.  Free-initial-state (tube-init) solves keep it: without IR
+    # their endgame stalls ~5e-5 short (measured on the Mayne geometry).
+    default_refine = 0 if (dt == jnp.float64 and fixed) else 1
+
     def solve_newton(factpack, tx, tu, tt, tN,
-                     rdx, rdu, rdxN, rdw, re_d, re_ss, refine=1):
+                     rdx, rdu, rdxN, rdw, re_d, re_ss, refine=None):
         """One Newton solve with ``refine`` rounds of iterative
         refinement (the f32 Riccati sweep alone loses ~3 digits over the
         N-stage recursion on stiff barriers; one residual re-solve
@@ -634,6 +644,8 @@ def ip_riccati_solve(spec: RiccatiIPSpec, theta: jax.Array, N: int,
         residuals; re_* = equality residuals; the fixed initial state
         enters as dx0 = -re_0 (``re_0_cur``).  Returns directions
         (dx (N+1,nx), du (N,nu), dw, dmu, dy (N,nx))."""
+        if refine is None:
+            refine = default_refine
         D = factpack[4]
         rx_eff = -(rdx + _es('ri,kr->ki', spec.Hx, tx))
         rx_eff = rx_eff.at[0].add(-_mm(spec.Ht.T, tt))

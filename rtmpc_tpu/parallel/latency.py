@@ -135,7 +135,14 @@ def latency_report(times_s: np.ndarray, label: str = "",
         "median_ms": float(np.median(ms)),
         "mean_ms": float(np.mean(ms)),
     }
+    # the reference's 2.5..20 ms bins (``results_linear_system.py:319``),
+    # extended past the observed max so nothing clips into the last bin
+    # (round-4 artifacts clipped 50-105 ms solves into "17.5-20", making
+    # the stored histogram misrepresent the distribution)
     edges = np.arange(2.5, 20.0 + 2.5, 2.5)
+    if ms.max() > edges[-1]:
+        extra = np.arange(edges[-1] + 10.0, ms.max() + 10.0, 10.0)
+        edges = np.concatenate([edges, extra])
     clipped = np.clip(ms, edges[0], edges[-1])
     hist, _ = np.histogram(clipped, bins=edges)
     stats["hist_bins_ms"] = edges.tolist()

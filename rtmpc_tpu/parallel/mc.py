@@ -63,6 +63,7 @@ def run_mc_sweep(
     mesh=None,
     checkpoint_path: Optional[str] = None,
     n_chunks: int = 1,
+    t_chunk: Optional[int] = None,
 ) -> MCSweepResult:
     """Run the full sweep; returns host-side numpy artifacts.
 
@@ -98,6 +99,18 @@ def run_mc_sweep(
     refs_b = jnp.broadcast_to(jnp.asarray(refs, dt), (BATCH, T, nx))
     x0_b = jnp.broadcast_to(jnp.asarray(x0, dt).reshape(nx), (BATCH, nx))
 
+    # Time chunking (round 5): the remote rig's RPC layer kills device
+    # calls longer than ~1 min (UNAVAILABLE), while the structured-IP
+    # solvers amortize best at FULL batch — so instead of splitting the
+    # batch (probability axis), split the SCAN: run T in t_chunk-step
+    # dispatches threading the rollout carry between calls.  Bit-identical
+    # to the single-shot scan (the carry is the scan state).
+    if t_chunk is None and cfg.solver in ("ip_riccati", "ip_hybrid") \
+            and jax.default_backend() != "cpu":
+        t_chunk = 50
+    if t_chunk is not None and cfg.solver == "pallas":
+        raise ValueError("t_chunk is unsupported for the pallas batch path")
+
     roll = make_batched_rollout(arrays, cfg, T, actuator_mode=actuator_mode,
                                 infeas_mode=infeas_mode,
                                 plant_step=plant_step)
@@ -109,6 +122,39 @@ def run_mc_sweep(
         return outs.x, outs.x_nom, err, carry.feasible
 
     fn = jax.jit(batched)
+
+    if t_chunk is not None:
+        from .rollout import init_carry, make_rollout_fn
+        fn_elem = make_rollout_fn(arrays, cfg, T,
+                                  actuator_mode=actuator_mode,
+                                  infeas_mode=infeas_mode,
+                                  plant_step=plant_step)
+        fn_seg = jax.jit(jax.vmap(fn_elem, in_axes=(0, 0, 0, 0, 0, 0)))
+        init_c = jax.jit(jax.vmap(
+            lambda x: init_carry(arrays, cfg, x, T)))
+
+        def rms_host(x0b, xs, refsb, feasible):
+            traj = np.concatenate([np.asarray(x0b)[:, None],
+                                   xs[:, :-1]], axis=1)
+            e2 = np.sum((traj[:, :, 0] - np.asarray(refsb)[:, :, 0]) ** 2,
+                        axis=1)
+            e2 = e2 + np.sum(traj[:, :, 1:] ** 2, axis=(1, 2))
+            e = np.sqrt(e2) / traj.shape[1]
+            return np.where(feasible, e, np.nan)
+
+        def fn(x0b, refsb, wb, thetab, gammab):      # noqa: F811
+            carry = init_c(x0b)
+            xs_p, xn_p = [], []
+            for t0 in range(0, T, t_chunk):
+                te = slice(t0, min(t0 + t_chunk, T))
+                carry, outs = fn_seg(x0b, refsb[:, te], wb[:, te],
+                                     thetab[:, te], gammab[:, te], carry)
+                xs_p.append(to_host(outs.x))
+                xn_p.append(to_host(outs.x_nom))
+            xs = np.concatenate(xs_p, axis=1)
+            xn = np.concatenate(xn_p, axis=1)
+            feas = to_host(carry.feasible)
+            return xs, xn, rms_host(x0b, xs, refsb, feas), feas
 
     def shard(a):
         if mesh is None:
@@ -169,8 +215,11 @@ def run_mc_sweep(
         xs_c, xn_c, err_c, feas_c = fn(
             shard(x0_b[sl]), shard(refs_b[sl]), shard(w[sl]),
             shard(theta[sl]), shard(gamma[sl]))
-        xs_c.block_until_ready()
+        jax.block_until_ready(xs_c)
         wall += _time.perf_counter() - t0
+        print(f"  [mc] chunk {ci + 1}/{n_chunks} "
+              f"(p={loss_probs[lo]:.2f}..{loss_probs[hi - 1]:.2f}) "
+              f"{_time.perf_counter() - t0:.1f}s", flush=True)
         npp = hi - lo
         err[lo:hi] = to_host(err_c).reshape(npp, M)
         feas[lo:hi] = to_host(feas_c).reshape(npp, M)

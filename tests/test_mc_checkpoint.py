@@ -74,3 +74,34 @@ def test_resume_after_partial_run(flagship, tmp_path):
     np.testing.assert_array_equal(resumed.feasible, ref.feasible)
     # poisoned rows were recomputed, untouched rows came from the checkpoint
     assert not np.any(resumed.tracking_error == 123.0)
+
+
+def test_time_chunked_sweep_matches_single_shot():
+    """t_chunk splits the scan into carry-threaded dispatches (round-5 RPC
+    workaround); must be bit-identical to the single-shot run."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from rtmpc_tpu.utils import box
+    from rtmpc_tpu.models import setup_tube_tracking
+    from rtmpc_tpu.parallel.mc import run_mc_sweep
+
+    A = np.array([[1.0, 1.0], [0.0, 1.0]])
+    B = np.array([[0.0], [1.0]])
+    setup = setup_tube_tracking(
+        A, B, np.eye(2), np.eye(1), 10,
+        box(np.array([8.0, 8.0])), box(np.array([1.0])),
+        box(np.array([0.1, 0.1])), fixed_initial_state=True)
+    arrays, cfg = setup.to_device(dtype=jnp.float64, solver="ip_riccati",
+                                  ip_iters=25)
+    T = 40
+    refs = np.zeros((T, 2))
+    refs[:, 0] = 4.0
+    kw = dict(T=T, n_mc=3, loss_probs=[0.0, 0.6], refs=refs,
+              x0=np.zeros(2), w_lo=-0.1 * np.ones(2),
+              w_hi=0.1 * np.ones(2), key=jax.random.PRNGKey(5))
+    r1 = run_mc_sweep(arrays, cfg, **kw)
+    r2 = run_mc_sweep(arrays, cfg, t_chunk=16, **kw)
+    np.testing.assert_allclose(r2.tracking_error, r1.tracking_error,
+                               rtol=0, atol=1e-12)
+    np.testing.assert_array_equal(r2.sample_traj, r1.sample_traj)

@@ -129,6 +129,24 @@ def compare_linear(tpu_json: str, truth_json: str, tol: float = 0.02):
                 flag = "info" if rel > tol else "ok  "
             msgs.append(f"  p={rt['p']:.1f} {k}: tpu {a:.5f} vs f64 "
                         f"{b:.5f}  rel {rel:.4f} [{flag}]")
+        # track-arm FULL-distribution gate (round-5 ask #3): instead of
+        # dropping the knife-edge-sensitive mean, gate the KS distance of
+        # the 20-run RMS distributions — a single divergent paired run
+        # (the dissected p=0.8 saturation event, KNIFE_EDGE_r05.json)
+        # moves KS by exactly 1/n and passes; a systematic shift fails.
+        if "rms_track_all" in rt and "rms_track_all" in rc:
+            import numpy as _np
+            av = _np.sort(_np.asarray(rt["rms_track_all"], float))
+            bv = _np.sort(_np.asarray(rc["rms_track_all"], float))
+            allv = _np.concatenate([av, bv])
+            cdf = lambda v, x: _np.searchsorted(v, x, side="right") / len(v)
+            ks = float(_np.max(_np.abs(cdf(av, allv) - cdf(bv, allv))))
+            ks_tol = 0.2        # <= 4 of 20 runs rank-shifted
+            flag = "OK " if ks <= ks_tol else "FAIL"
+            if ks > ks_tol:
+                ok = False
+            msgs.append(f"  p={rt['p']:.1f} rms_track KS distance: "
+                        f"{ks:.3f} (tol {ks_tol}) [{flag}]")
     return ok, "\n".join(msgs)
 
 
