@@ -78,13 +78,29 @@ def main():
     refs_b = jnp.broadcast_to(jnp.asarray(refs, jnp.float32), (Bb, T, 2))
     x0_b = jnp.zeros((Bb, 2), jnp.float32)
 
-    grid = []
-    for it, it2 in [(60, 60), (50, 50), (40, 40), (30, 30), (40, 20)]:
-        for p2 in [None, "highest"]:
-            grid.append(dict(iters=it, iters2=it2, phase2_precision=p2))
+    # (base_matmul_precision, iters, iters2, phase2_override):
+    # the bench/engine default is base "high" (3-pass bf16, ~1.5x faster
+    # end-to-end); phase2_precision="highest" upgrades only the phase-2
+    # matmuls.  Base "highest" rows measure the engine-wide upgrade.
+    grid = [dict(base="high", iters=60, iters2=60, phase2_precision=None),
+            dict(base="high", iters=60, iters2=60,
+                 phase2_precision="highest"),
+            dict(base="highest", iters=60, iters2=60,
+                 phase2_precision=None),
+            dict(base="high", iters=40, iters2=40, phase2_precision=None),
+            dict(base="highest", iters=40, iters2=40,
+                 phase2_precision=None),
+            dict(base="high", iters=50, iters2=50, phase2_precision=None),
+            dict(base="highest", iters=50, iters2=50,
+                 phase2_precision=None)]
 
+    from rtmpc_tpu.ops.precision import set_matmul_precision
     rows = []
     for g in grid:
+        g = dict(g)
+        base = g.pop("base")
+        set_matmul_precision(base)
+        jax.clear_caches()
         arrays, cfg = setup.to_device(
             dtype=jnp.float32, alpha=1.8, rho2_scale=0.2, **g)
         # per-element parity
@@ -113,7 +129,7 @@ def main():
         jax.block_until_ready(out)
         dt_s = (time.time() - t0) / args.reps
         rps = Bb / dt_s
-        row = {**g, "traj_max_abs_err": terr,
+        row = {"base_precision": base, **g, "traj_max_abs_err": terr,
                "batched_traj_max_abs_err": berr,
                "rollouts_per_s": round(rps, 1)}
         rows.append(row)
