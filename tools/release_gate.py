@@ -228,6 +228,16 @@ def main():
 
     if stage("compare"):
         truth = os.path.join(_ROOT, f"RESULTS_LINEAR_CPU_F64_{rr}.json")
+        if not os.path.exists(truth):
+            # fall back to the newest committed truth: the f64-CPU rows
+            # are a function of (code semantics, seeds) only, and
+            # compare_linear still verifies the config fields match
+            import glob
+            cands = sorted(glob.glob(
+                os.path.join(_ROOT, "RESULTS_LINEAR_CPU_F64_r*.json")))
+            if cands:
+                truth = cands[-1]
+                print(f"compare: using fallback truth {truth}")
         tpu_j = os.path.join(_ROOT, f"RESULTS_LINEAR_{rr}.json")
         if os.path.exists(truth) and os.path.exists(tpu_j):
             ok, msg = compare_linear(tpu_j, truth)
