@@ -231,6 +231,15 @@ def main():
         "rpc_floor_ms": round(rpc_floor_ms, 3),
         "batched_step_amortized_ms": round(step_amortized_ms, 3),
         "realtime_budget_ms": 20.0,
+        # p99_step_ms vs realtime_budget_ms is NOT a solver verdict on
+        # this rig: the dispatch-inclusive path pays the remote-TPU
+        # tunnel's RPC round trip every tick (rpc_floor_ms ~ the same
+        # cost for a no-op dispatch).  The deployment-relevant figures
+        # are step_device_ms (device-resident back-to-back step) and the
+        # sustained 50 Hz serve session (SERVE log: p99 0.31 ms).
+        "p99_note": ("dispatch-inclusive through the dev-rig tunnel; "
+                     "rpc_floor_ms is the floor ANY dispatch pays here "
+                     "- compare step_device_ms to the budget instead"),
         "batch": BATCH,
         "T": T,
         "solver": SOLVER,
